@@ -1,0 +1,115 @@
+"""Sparse convolution execution: gather -> MXU matmul -> accumulate.
+
+Replaces MinkowskiEngine's sparse GEMM (``MinkowskiConvolution``,
+``MinkowskiGenerativeConvolutionTranspose``, conv-at-query-coords).  The
+kernel map is a dense per-offset neighbor table (kernel_maps.py); execution
+scans the K^3 offsets, each step doing a [N, Cin] gather and an MXU matmul
+against that offset's [Cin, Cout] weight slice, accumulating in f32.
+
+Weight layout: ``w[K^3, Cin, Cout]`` (kernel-position major, matching the
+offset order of kernel_maps.kernel_offsets).  The reference's ME kernels
+are (K^3, Cin, Cout) too, modulo offset-order permutation handled by the
+checkpoint converter.
+
+A Pallas fast path (ops/pallas_conv.py) implements the same contraction
+with the source features resident in VMEM; this module is the portable XLA
+reference implementation and the autodiff path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernel_maps import conv_offsets, neighbor_table, transpose_offsets
+from .sparse import SparseTensor
+from .voxelize import stride_reduce_coords
+
+
+def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None,
+                compute_dtype=jnp.float32) -> jnp.ndarray:
+    """out[n] = sum_k feats[nbr[k, n]] @ w[k]  (missing neighbors skipped).
+
+    feats: [N_src, Cin]; nbr: i32[K, N_out]; w: [K, Cin, Cout].
+    """
+    n_out = nbr.shape[1]
+    cout = w.shape[-1]
+
+    def step(acc, xs):
+        w_k, nbr_k = xs
+        f = jnp.take(feats, jnp.maximum(nbr_k, 0), axis=0)
+        f = jnp.where((nbr_k >= 0)[:, None], f, 0.0).astype(compute_dtype)
+        acc = acc + jnp.dot(f, w_k.astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((n_out, cout), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, (w, nbr))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def subm_conv(src: SparseTensor, w: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None,
+              kernel_size: int = 3) -> SparseTensor:
+    """Submanifold conv: output coords == input coords (stride 1 conv)."""
+    offs = conv_offsets(kernel_size, src.stride)
+    nbr = neighbor_table(src, src.coords, src.valid, offs)
+    feats = gather_gemm(src.masked_feats(), nbr, w, bias)
+    feats = jnp.where(src.valid[:, None], feats, 0.0)
+    return src.with_feats(feats)
+
+
+def strided_conv(src: SparseTensor, w: jnp.ndarray,
+                 bias: Optional[jnp.ndarray], kernel_size: int,
+                 factor: int, out_cap: int) -> SparseTensor:
+    """Downsampling conv (ME stride=factor): coords stride-reduced."""
+    out, _ = stride_reduce_coords(src, factor, out_cap)
+    offs = conv_offsets(kernel_size, src.stride)
+    nbr = neighbor_table(src, out.coords, out.valid, offs)
+    feats = gather_gemm(src.masked_feats(), nbr, w, bias)
+    feats = jnp.where(out.valid[:, None], feats, 0.0)
+    return SparseTensor(out.coords, feats, out.valid, out.stride)
+
+
+def conv_at_coords(src: SparseTensor, tgt_coords: jnp.ndarray,
+                   tgt_valid: jnp.ndarray, w: jnp.ndarray,
+                   bias: Optional[jnp.ndarray], kernel_size: int,
+                   out_stride: Optional[int] = None) -> SparseTensor:
+    """Convolution evaluated at arbitrary target coordinates.
+
+    ME analogue: ``conv(sp_tensor, query_coords)`` as used by the RoI
+    pooling layer (cagroup_roi_head.py:69) and DAPPM/backbone fusions.
+    Offsets are in source-stride units (normal conv semantics).
+    """
+    offs = conv_offsets(kernel_size, src.stride)
+    nbr = neighbor_table(src, tgt_coords, tgt_valid, offs)
+    feats = gather_gemm(src.masked_feats(), nbr, w, bias)
+    feats = jnp.where(tgt_valid[:, None], feats, 0.0)
+    return SparseTensor(tgt_coords, feats, tgt_valid,
+                        out_stride if out_stride is not None else src.stride)
+
+
+def transposed_conv(src: SparseTensor, tgt_coords: jnp.ndarray,
+                    tgt_valid: jnp.ndarray, w: jnp.ndarray,
+                    bias: Optional[jnp.ndarray], kernel_size: int,
+                    up_factor: int) -> SparseTensor:
+    """(Generative) transposed conv decoded at given target coordinates.
+
+    Covers both ME ``MinkowskiConvolutionTranspose`` (targets = an existing
+    finer coordinate map, biresnet.py:309) and
+    ``MinkowskiGenerativeConvolutionTranspose`` called with explicit output
+    coords (cagroup_head.py:274).  ``up_factor`` = ME stride;
+    out_stride = src.stride // up_factor.
+    """
+    assert src.stride % up_factor == 0
+    out_stride = src.stride // up_factor
+    offs = transpose_offsets(kernel_size, out_stride)
+    nbr = neighbor_table(src, tgt_coords, tgt_valid, offs)
+    feats = gather_gemm(src.masked_feats(), nbr, w, bias)
+    feats = jnp.where(tgt_valid[:, None], feats, 0.0)
+    return SparseTensor(tgt_coords, feats, tgt_valid, out_stride)

@@ -1,0 +1,105 @@
+"""Quantization + deduplication (voxelization) with static capacity.
+
+Replaces MinkowskiEngine's ``SparseTensor(coordinates=..., features=...)``
+quantization (reference: detector input voxelization cagroup3d.py:18-25,
+dense-head per-class re-voxelization with UNWEIGHTED_AVERAGE
+cagroup_head.py:254-271, RoI grid dedup cagroup_roi_head.py:54-68).
+
+Algorithm: pack coords to int32 keys -> single sort -> head-flag unique ->
+segment-sum features.  Everything is O(P log P) with static shapes; voxels
+beyond ``cap`` uniques are dropped deterministically (largest keys first).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .hashing import INVALID_KEY, pack_coords
+from .sparse import PAD_COORD, SparseTensor
+
+
+def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
+                  cap: int, mode: str = "mean"
+                  ) -> Tuple[SparseTensor, jnp.ndarray]:
+    """Deduplicate lattice coords, reducing features per voxel.
+
+    Args:
+      lat: i32[P, 3] lattice coords (already divided by any stride).
+      feats: f32[P, F].
+      valid: bool[P].
+      cap: static output capacity.
+      mode: 'mean' == ME UNWEIGHTED_AVERAGE; 'first' == one representative
+        per voxel (deterministic stand-in for ME RANDOM_SUBSAMPLE).
+
+    Returns:
+      (SparseTensor with stride=1 semantics over `lat` units,
+       inverse i32[P]: output row of each input point, -1 if dropped).
+    """
+    P = lat.shape[0]
+    keys = pack_coords(lat, valid)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    head = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    uid_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1  # rank of each row's voxel
+    ok_sorted = (sk != INVALID_KEY) & (uid_sorted < cap)
+
+    # Output coords: scatter the first occurrence of each voxel.
+    slot_for_coord = jnp.where(head & ok_sorted, uid_sorted, cap)
+    out_coords = (jnp.full((cap + 1, 3), PAD_COORD, jnp.int32)
+                  .at[slot_for_coord].set(lat[order]))[:cap]
+
+    # Inverse map in original row order.
+    uid = jnp.zeros((P,), jnp.int32).at[order].set(
+        jnp.where(ok_sorted, uid_sorted, -1))
+
+    seg = jnp.where(uid >= 0, uid, cap)
+    cnt = jnp.zeros((cap + 1,), jnp.int32).at[seg].add(1)[:cap]
+    if mode == "mean":
+        ssum = jnp.zeros((cap + 1, feats.shape[-1]), feats.dtype).at[seg].add(
+            jnp.where(valid[:, None], feats, 0.0))[:cap]
+        out_feats = ssum / jnp.maximum(cnt, 1)[:, None]
+    elif mode == "first":
+        out_feats = jnp.zeros((cap + 1, feats.shape[-1]), feats.dtype).at[
+            slot_for_coord].set(feats[order])[:cap]
+    else:
+        raise ValueError(mode)
+
+    out_valid = cnt > 0
+    out_feats = jnp.where(out_valid[:, None], out_feats, 0.0)
+    st = SparseTensor(out_coords, out_feats, out_valid, stride=1)
+    return st, uid
+
+
+def voxelize_points(points: jnp.ndarray, feats: jnp.ndarray,
+                    valid: jnp.ndarray, voxel_size, cap: int,
+                    mode: str = "mean") -> Tuple[SparseTensor, jnp.ndarray]:
+    """Metric points -> voxel grid (floor(p / voxel_size)), then dedup.
+
+    voxel_size may be scalar or per-axis [3] (the dense head's class-aware
+    anisotropic voxel sizes, cagroup_head.py:75-106).
+    """
+    lat = jnp.floor(points / jnp.asarray(voxel_size)).astype(jnp.int32)
+    return unique_voxels(lat, feats, valid, cap, mode)
+
+
+def stride_reduce_coords(st: SparseTensor, factor: int, cap: int
+                         ) -> Tuple[SparseTensor, jnp.ndarray]:
+    """Coordinate set of a strided (downsampling) conv/pool output.
+
+    ME semantics: out coords = unique(floor(c / (stride*factor)) *
+    stride*factor) on the coarser lattice.  Features are NOT carried (the
+    conv computes them); we pass zeros.
+    """
+    new_stride = st.stride * factor
+    lat = jnp.floor_divide(st.coords, new_stride)
+    dummy = jnp.zeros((st.cap, 1), st.feats.dtype)
+    ded, inv = unique_voxels(lat, dummy, st.valid, cap, mode="first")
+    out = SparseTensor(
+        coords=jnp.where(ded.valid[:, None], ded.coords * new_stride,
+                         PAD_COORD),
+        feats=jnp.zeros((cap, st.num_channels), st.feats.dtype),
+        valid=ded.valid,
+        stride=new_stride,
+    )
+    return out, inv

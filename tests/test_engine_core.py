@@ -1,0 +1,200 @@
+"""Golden tests for the sparse voxel engine against numpy oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cagroup3d_tpu.core import (
+    SparseTensor, PAD_COORD, unique_voxels, voxelize_points,
+    stride_reduce_coords, kernel_offsets, neighbor_table, subm_conv,
+    strided_conv, conv_at_coords, transposed_conv, avg_pool, interpolate_at,
+    build_index, lookup,
+)
+
+
+def make_sparse(coords, feats, cap, stride=1):
+    n = len(coords)
+    c = np.full((cap, 3), 1 << 20, np.int32)
+    f = np.zeros((cap, feats.shape[1]), np.float32)
+    v = np.zeros(cap, bool)
+    c[:n] = coords
+    f[:n] = feats
+    v[:n] = True
+    return SparseTensor(jnp.asarray(c), jnp.asarray(f), jnp.asarray(v), stride)
+
+
+def random_sparse(rng, n, channels, extent=30, stride=1, cap=None):
+    cap = cap or n + 16
+    # unique coords
+    coords = rng.randint(0, extent, size=(3 * n, 3)).astype(np.int32)
+    coords = np.unique(coords, axis=0)[:n] * stride
+    feats = rng.randn(len(coords), channels).astype(np.float32)
+    return make_sparse(coords, feats, cap, stride), coords, feats
+
+
+class TestLookup:
+    def test_hit_and_miss(self, rng):
+        st, coords, feats = random_sparse(rng, 50, 4)
+        sk, ror = build_index(jnp.asarray(coords), jnp.ones(len(coords), bool))
+        q = np.concatenate([coords[:10], coords[:10] + 1000])
+        res = lookup(sk, ror, jnp.asarray(q), jnp.ones(len(q), bool))
+        res = np.asarray(res)
+        for i in range(10):
+            assert np.all(coords[res[i]] == q[i])
+        assert np.all(res[10:] == -1)
+
+    def test_negative_margin(self, rng):
+        coords = np.array([[-3, 0, 5], [0, 0, 0], [2, -1, 3]], np.int32)
+        sk, ror = build_index(jnp.asarray(coords), jnp.ones(3, bool))
+        res = np.asarray(lookup(sk, ror, jnp.asarray(coords), jnp.ones(3, bool)))
+        assert list(res) == [0, 1, 2]
+
+
+class TestVoxelize:
+    def test_mean_dedup(self, rng):
+        pts = rng.rand(200, 3).astype(np.float32) * 2.0
+        feats = rng.randn(200, 5).astype(np.float32)
+        st, inv = voxelize_points(jnp.asarray(pts), jnp.asarray(feats),
+                                  jnp.ones(200, bool), 0.5, cap=128)
+        lat = np.floor(pts / 0.5).astype(np.int32)
+        uniq, uinv = np.unique(lat, axis=0, return_inverse=True)
+        assert int(st.num_valid()) == len(uniq)
+        got_coords = np.asarray(st.coords)[np.asarray(st.valid)]
+        # voxel -> mean features oracle
+        ref = {tuple(u): feats[uinv == i].mean(0) for i, u in enumerate(uniq)}
+        got_feats = np.asarray(st.feats)[np.asarray(st.valid)]
+        for c, f in zip(got_coords, got_feats):
+            np.testing.assert_allclose(f, ref[tuple(c)], rtol=1e-5, atol=1e-5)
+        # inverse map consistency
+        inv = np.asarray(inv)
+        coords_all = np.asarray(st.coords)
+        for p in range(200):
+            assert inv[p] >= 0
+            assert tuple(coords_all[inv[p]]) == tuple(lat[p])
+
+    def test_overflow_drop(self, rng):
+        pts = rng.rand(100, 3).astype(np.float32) * 10
+        feats = np.ones((100, 1), np.float32)
+        st, inv = voxelize_points(jnp.asarray(pts), jnp.asarray(feats),
+                                  jnp.ones(100, bool), 0.1, cap=16)
+        assert int(st.num_valid()) <= 16
+
+    def test_stride_reduce(self, rng):
+        st, coords, _ = random_sparse(rng, 40, 3, extent=16, stride=2)
+        out, _ = stride_reduce_coords(st, 2, cap=64)
+        assert out.stride == 4
+        exp = np.unique(coords // 4 * 4, axis=0)
+        got = np.asarray(out.coords)[np.asarray(out.valid)]
+        got = got[np.lexsort(got.T[::-1])]
+        np.testing.assert_array_equal(got, exp[np.lexsort(exp.T[::-1])])
+
+
+def naive_conv(src_coords, src_feats, tgt_coords, w, offsets, bias=None):
+    """Numpy oracle: out[i] = sum_k feats[src == tgt[i]+off[k]] @ w[k]."""
+    table = {tuple(c): i for i, c in enumerate(src_coords)}
+    out = np.zeros((len(tgt_coords), w.shape[-1]), np.float32)
+    for i, t in enumerate(tgt_coords):
+        for k, o in enumerate(offsets):
+            j = table.get(tuple(t + o))
+            if j is not None:
+                out[i] += src_feats[j] @ w[k]
+    if bias is not None:
+        out += bias
+    return out
+
+
+class TestSparseConv:
+    def test_subm_conv_matches_oracle(self, rng):
+        st, coords, feats = random_sparse(rng, 60, 8)
+        w = rng.randn(27, 8, 6).astype(np.float32) * 0.1
+        b = rng.randn(6).astype(np.float32)
+        out = subm_conv(st, jnp.asarray(w), jnp.asarray(b), 3)
+        offs = kernel_offsets(3)
+        exp = naive_conv(coords, feats, coords, w, offs, b)
+        got = np.asarray(out.feats)[:len(coords)]
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+    def test_strided_conv(self, rng):
+        st, coords, feats = random_sparse(rng, 60, 4, extent=20, stride=2)
+        w = rng.randn(27, 4, 4).astype(np.float32) * 0.1
+        out = strided_conv(st, jnp.asarray(w), None, 3, 2, out_cap=64)
+        assert out.stride == 4
+        out_coords = np.asarray(out.coords)[np.asarray(out.valid)]
+        offs = kernel_offsets(3) * 2  # input-stride units
+        exp = naive_conv(coords, feats, out_coords, w, offs)
+        valid = np.asarray(out.valid)
+        got = np.asarray(out.feats)[valid]
+        # rows in engine order; oracle computed on the same coord list
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+    def test_conv_at_coords(self, rng):
+        st, coords, feats = random_sparse(rng, 50, 4, extent=12, stride=2)
+        q = rng.randint(0, 24, size=(20, 3)).astype(np.int32) * 2
+        w = rng.randn(125, 4, 4).astype(np.float32) * 0.1
+        out = conv_at_coords(st, jnp.asarray(q), jnp.ones(20, bool),
+                             jnp.asarray(w), None, 5)
+        offs = kernel_offsets(5) * 2
+        exp = naive_conv(coords, feats, q, w, offs)
+        np.testing.assert_allclose(np.asarray(out.feats), exp, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_generative_transpose(self, rng):
+        # stride-3 input, decode at arbitrary stride-1 coords (head pattern,
+        # cagroup_head.py:274)
+        coarse = np.unique(rng.randint(0, 8, (40, 3)), axis=0).astype(np.int32) * 3
+        feats = rng.randn(len(coarse), 4).astype(np.float32)
+        st = make_sparse(coarse, feats, len(coarse) + 8, stride=3)
+        fine = rng.randint(0, 24, size=(30, 3)).astype(np.int32)
+        w = rng.randn(27, 4, 5).astype(np.float32) * 0.1
+        out = transposed_conv(st, jnp.asarray(fine), jnp.ones(30, bool),
+                              jnp.asarray(w), None, 3, up_factor=3)
+        assert out.stride == 1
+        # oracle: parent i contributes to c = i + o (o in centered 3^3),
+        # weight index = offset index of o
+        offs = kernel_offsets(3)
+        table = {tuple(c): i for i, c in enumerate(coarse)}
+        exp = np.zeros((30, 5), np.float32)
+        for n, c in enumerate(fine):
+            for k, o in enumerate(offs):
+                parent = c - o
+                if np.all(parent % 3 == 0):
+                    j = table.get(tuple(parent))
+                    if j is not None:
+                        exp[n] += feats[j] @ w[k]
+        np.testing.assert_allclose(np.asarray(out.feats), exp, rtol=1e-4,
+                                   atol=1e-4)
+
+
+class TestPooling:
+    def test_avg_pool_oracle(self, rng):
+        st, coords, feats = random_sparse(rng, 60, 3, extent=16, stride=1)
+        out = avg_pool(st, kernel_size=5, factor=2, out_cap=64)
+        assert out.stride == 2
+        out_coords = np.asarray(out.coords)[np.asarray(out.valid)]
+        got = np.asarray(out.feats)[np.asarray(out.valid)]
+        for oc, g in zip(out_coords, got):
+            mask = np.all(np.abs(coords - oc) <= 2, axis=1)
+            assert mask.any()
+            np.testing.assert_allclose(g, feats[mask].mean(0), rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_interpolate_trilinear(self, rng):
+        # regular grid so interpolation is exact for linear functions
+        g = np.arange(0, 6)
+        coords = np.array(np.meshgrid(g, g, g)).reshape(3, -1).T.astype(np.int32)
+        feats = (coords @ np.array([[1.0], [2.0], [3.0]])).astype(np.float32)
+        st = make_sparse(coords, feats, len(coords) + 8, stride=1)
+        q = rng.rand(20, 3).astype(np.float32) * 4 + 0.5
+        out = interpolate_at(st, jnp.asarray(q), jnp.ones(20, bool))
+        exp = q @ np.array([[1.0], [2.0], [3.0]])
+        np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-4)
+
+    def test_interpolate_on_strided_lattice(self, rng):
+        g = np.arange(0, 5) * 4
+        coords = np.array(np.meshgrid(g, g, g)).reshape(3, -1).T.astype(np.int32)
+        feats = (coords @ np.array([[0.5], [1.0], [-1.0]])).astype(np.float32)
+        st = make_sparse(coords, feats, len(coords) + 8, stride=4)
+        q = np.array([[4.0, 4.0, 4.0], [6.0, 2.0, 10.0]], np.float32)
+        out = interpolate_at(st, jnp.asarray(q), jnp.ones(2, bool))
+        exp = q @ np.array([[0.5], [1.0], [-1.0]])
+        np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-4)
