@@ -1,0 +1,104 @@
+"""Model-facing layer helpers over the sparse engine.
+
+Wraps core ops with (a) flat-dict parameter addressing (paths mirror the
+reference torch state_dict, see core/module.py) and (b) a per-forward
+cache of neighbor tables / stride reductions keyed by coordinate-array
+identity: many layers convolve over the same coordinate set (every
+submanifold conv at a given stride), and the reference relies on ME's
+coordinate manager for exactly this reuse.  Caching also guarantees that
+parallel stride reductions of the same coords (e.g. biresnet ``layer3``
+vs ``down3``) produce the *same* tensor, making residual adds row-aligned.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..core.kernel_maps import conv_offsets, neighbor_table, transpose_offsets
+from ..core.module import Ctx, Params, apply_bn
+from ..core.norm import elu, relu
+from ..core.sparse import SparseTensor
+from ..core.sparse_conv import gather_gemm
+from ..core.voxelize import stride_reduce_coords
+
+
+def _cached(ctx: Ctx, key, fn):
+    cache = getattr(ctx, "cache", None)
+    if cache is None:
+        cache = {}
+        ctx.cache = cache
+    if key not in cache:
+        cache[key] = fn()
+    return cache[key]
+
+
+def _nbr(ctx: Ctx, src: SparseTensor, tgt_coords, tgt_valid, offsets):
+    key = ("nbr", id(src.coords), id(tgt_coords), offsets.tobytes(), src.stride)
+    # pin the keyed arrays so their id()s stay unique for the cache lifetime
+    return _cached(ctx, key, lambda: (src.coords, tgt_coords,
+                                      neighbor_table(src, tgt_coords,
+                                                     tgt_valid, offsets)))[2]
+
+
+def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
+    key = ("reduce", id(st.coords), factor, cap)
+    out, _ = _cached(ctx, key,
+                     lambda: (st.coords,) + stride_reduce_coords(st, factor, cap))[1:]
+    return out
+
+
+def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
+         k: int) -> SparseTensor:
+    offs = conv_offsets(k, st.stride)
+    nbr = _nbr(ctx, st, st.coords, st.valid, offs)
+    f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
+                    params.get(path + ".bias"))
+    return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
+
+
+def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
+         factor: int, cap: int) -> SparseTensor:
+    out = reduce_coords(ctx, st, factor, cap)
+    offs = conv_offsets(k, st.stride)
+    nbr = _nbr(ctx, st, out.coords, out.valid, offs)
+    f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
+                    params.get(path + ".bias"))
+    return SparseTensor(out.coords, jnp.where(out.valid[:, None], f, 0.0),
+                        out.valid, out.stride)
+
+
+def conv_at(params: Params, ctx: Ctx, path: str, src: SparseTensor,
+            tgt_coords, tgt_valid, k: int,
+            out_stride: Optional[int] = None) -> SparseTensor:
+    offs = conv_offsets(k, src.stride)
+    nbr = _nbr(ctx, src, tgt_coords, tgt_valid, offs)
+    f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
+                    params.get(path + ".bias"))
+    return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),
+                        tgt_valid,
+                        out_stride if out_stride is not None else src.stride)
+
+
+def up(params: Params, ctx: Ctx, path: str, src: SparseTensor, tgt_coords,
+       tgt_valid, k: int, up_factor: int) -> SparseTensor:
+    assert src.stride % up_factor == 0
+    out_stride = src.stride // up_factor
+    offs = transpose_offsets(k, out_stride)
+    nbr = _nbr(ctx, src, tgt_coords, tgt_valid, offs)
+    f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
+                    params.get(path + ".bias"))
+    return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),
+                        tgt_valid, out_stride)
+
+
+def bn(params: Params, state: Params, ctx: Ctx, path: str,
+       st: SparseTensor, momentum: float = 0.1) -> SparseTensor:
+    f = apply_bn(params, state, ctx, path, st.feats, st.valid,
+                 momentum=momentum)
+    return st.with_feats(f)
+
+
+def act(st: SparseTensor, kind: str = "relu") -> SparseTensor:
+    fn = relu if kind == "relu" else elu
+    return st.with_feats(jnp.where(st.valid[:, None], fn(st.feats), 0.0))
