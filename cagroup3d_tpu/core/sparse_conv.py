@@ -53,6 +53,40 @@ def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
     return out
 
 
+def scan_conv(src_coords: jnp.ndarray, src_valid: jnp.ndarray,
+              src_feats: jnp.ndarray, src_stride: int,
+              tgt_coords: jnp.ndarray, tgt_valid: jnp.ndarray,
+              offsets: np.ndarray, w: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Fused kernel-map + conv: the coordinate lookup runs inside the
+    offset scan, so no [K^3, N] neighbor table is materialized.  Used for
+    large kernels (the dense head's k=9 per-class convs, 729 offsets,
+    cagroup_head.py:184) where the table would dominate memory.
+    """
+    from .hashing import build_index, lookup
+
+    sorted_keys, row_of_rank = build_index(
+        jnp.floor_divide(src_coords, src_stride), src_valid)
+    feats = jnp.where(src_valid[:, None], src_feats, 0.0)
+    offs = jnp.asarray(offsets, jnp.int32)
+
+    def step(acc, xs):
+        off, w_k = xs
+        q = tgt_coords + off[None, :]
+        div_ok = jnp.all(q % src_stride == 0, axis=-1)
+        row = lookup(sorted_keys, row_of_rank, jnp.floor_divide(q, src_stride),
+                     div_ok & tgt_valid)
+        f = jnp.take(feats, jnp.maximum(row, 0), axis=0)
+        f = jnp.where((row >= 0)[:, None], f, 0.0)
+        return acc + jnp.dot(f, w_k, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((tgt_coords.shape[0], w.shape[-1]), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, (offs, w))
+    if bias is not None:
+        out = out + bias
+    return jnp.where(tgt_valid[:, None], out, 0.0)
+
+
 def subm_conv(src: SparseTensor, w: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,
               kernel_size: int = 3) -> SparseTensor:

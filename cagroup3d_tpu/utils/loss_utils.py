@@ -1,0 +1,113 @@
+"""mmdet-style losses in jnp (reference: pcdet/utils/loss_utils.py,
+pcdet/utils/iou3d_loss.py).
+
+All losses are static-shape: instead of boolean indexing, callers pass
+element weights/masks; ``avg_factor`` is an explicit (possibly traced)
+normalizer.  Ignored labels are -1 (mapped to all-zero one-hot = pure
+background in focal loss, exactly like the reference's
+``target[target < 0] = num_classes`` trick, loss_utils.py:1024-1029).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import iou3d_aligned, iou3d_rotated
+
+
+def sigmoid_focal_loss(pred, target_onehot, weight=None, gamma=2.0,
+                       alpha=0.25, avg_factor=None):
+    """pred [N, C] logits; target_onehot [N, C] in {0,1}."""
+    p = jax.nn.sigmoid(pred)
+    pt = (1 - p) * target_onehot + p * (1 - target_onehot)
+    focal_w = (alpha * target_onehot + (1 - alpha) * (1 - target_onehot)) \
+        * pt ** gamma
+    bce = jnp.maximum(pred, 0) - pred * target_onehot + \
+        jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    loss = bce * focal_w
+    if weight is not None:
+        if weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        loss = loss * weight
+    s = jnp.sum(loss)
+    if avg_factor is not None:
+        return s / (avg_factor + jnp.finfo(jnp.float32).eps)
+    return s / loss.size
+
+
+def focal_loss_with_labels(pred, labels, weight=None, gamma=2.0, alpha=0.25,
+                           avg_factor=None, loss_weight=1.0):
+    """labels i32[N] in [-1, C); -1 == background (all-zero one-hot)."""
+    C = pred.shape[-1]
+    oh = jax.nn.one_hot(jnp.where(labels < 0, C, labels), C + 1)[..., :C]
+    return loss_weight * sigmoid_focal_loss(pred, oh, weight, gamma, alpha,
+                                            avg_factor)
+
+
+def binary_cross_entropy(pred, target, weight=None, avg_factor=None,
+                         loss_weight=1.0):
+    """Sigmoid BCE with logits (CrossEntropy use_sigmoid=True path)."""
+    loss = jnp.maximum(pred, 0) - pred * target + \
+        jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    if weight is not None:
+        while weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        loss = loss * weight
+    s = jnp.sum(loss)
+    if avg_factor is not None:
+        return loss_weight * s / (avg_factor + jnp.finfo(jnp.float32).eps)
+    return loss_weight * s / loss.size
+
+
+def smooth_l1(pred, target, weight=None, beta=1.0, reduction="mean",
+              avg_factor=None, loss_weight=1.0):
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    if weight is not None:
+        loss = loss * weight
+    if reduction == "none":
+        return loss_weight * loss
+    s = jnp.sum(loss)
+    if avg_factor is not None:
+        return loss_weight * s / (avg_factor + jnp.finfo(jnp.float32).eps)
+    if reduction == "sum":
+        return loss_weight * s
+    return loss_weight * s / loss.size
+
+
+def weighted_smooth_l1(pred, target, weights=None, beta=1.0 / 9.0,
+                       code_weights=None):
+    """pcdet WeightedSmoothL1Loss (loss_utils.py:76): elementwise, no
+    reduction; nan targets ignored."""
+    target = jnp.where(jnp.isnan(target), pred, target)
+    diff = pred - target
+    if code_weights is not None:
+        diff = diff * jnp.asarray(code_weights)[None, :]
+    n = jnp.abs(diff)
+    if beta < 1e-5:
+        loss = n
+    else:
+        loss = jnp.where(n < beta, 0.5 * n * n / beta, n - 0.5 * beta)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
+def iou3d_loss(pred7, target7, weight=None, avg_factor=None, with_yaw=True,
+               loss_weight=1.0):
+    """1 - IoU3D; rotated (cal_iou_3d) or axis-aligned
+    (AxisAlignedBboxOverlaps3D) per with_yaw (iou3d_loss.py:92-95).
+    pred/target [N, 6|7]; weight [N]."""
+    if with_yaw:
+        iou = iou3d_rotated(pred7, target7)
+    else:
+        iou = iou3d_aligned(pred7, target7)
+    loss = 1.0 - iou
+    if weight is not None:
+        loss = loss * weight
+    s = jnp.sum(loss)
+    if avg_factor is not None:
+        return loss_weight * s / (avg_factor + jnp.finfo(jnp.float32).eps)
+    return loss_weight * s / loss.size

@@ -13,10 +13,6 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the model graphs are large and test wall
-# time is dominated by XLA CPU compiles; cache survives across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/cagroup3d_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
