@@ -1,0 +1,53 @@
+"""Eval harness (rebuild of tools/eval_utils/eval_utils.py):
+run the jitted eval forward over the val loader, unpad predictions,
+generate prediction dicts, run the dataset's indoor mAP evaluation."""
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def eval_one_epoch(model, eval_step, params, state, dataset, loader,
+                   epoch_id, logger, result_dir: Path = None,
+                   class_names=None):
+    class_names = class_names or dataset.class_names
+    det_annos: List[Dict] = []
+    total_time = 0.0
+    n_scenes = 0
+    for batch_np in loader:
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if k in ("points", "points_valid")}
+        t0 = time.time()
+        preds = eval_step(params, state, batch, jnp.float32(epoch_id))
+        boxes = np.asarray(preds["pred_boxes"])
+        total_time += time.time() - t0
+        scores = np.asarray(preds["pred_scores"])
+        labels = np.asarray(preds["pred_labels"])
+        valid = np.asarray(preds["pred_valid"])
+        B = boxes.shape[0]
+        n_scenes += B
+        pred_dicts = []
+        for b in range(B):
+            v = valid[b]
+            pred_dicts.append(dict(pred_boxes=boxes[b][v],
+                                   pred_scores=scores[b][v],
+                                   pred_labels=labels[b][v]))
+        det_annos += dataset.generate_prediction_dicts(
+            batch_np, pred_dicts, class_names)
+    logger.info(f"eval: {n_scenes} scenes, "
+                f"{total_time / max(n_scenes, 1) * 1e3:.1f} ms/scene "
+                f"(incl. host transfer)")
+    if result_dir is not None:
+        result_dir.mkdir(parents=True, exist_ok=True)
+        with open(result_dir / "result.pkl", "wb") as f:
+            pickle.dump(det_annos, f)
+    ret_dict, _ = dataset.evaluation(det_annos, class_names)
+    for k, v in sorted(ret_dict.items()):
+        if k.startswith("mAP") or k.startswith("mAR"):
+            logger.info(f"{k}: {v:.4f}")
+    return ret_dict

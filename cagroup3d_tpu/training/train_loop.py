@@ -1,0 +1,80 @@
+"""Training loop (rebuild of tools/train_utils/train_utils.py):
+epoch loop with tqdm-style logging, per-iter timing meters, checkpoint
+save/prune/auto-resume, LR from the optax schedule."""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .checkpoint import (latest_checkpoint, load_checkpoint,
+                         prune_checkpoints, save_checkpoint)
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = self.avg = 0.0
+
+    def update(self, v, n=1):
+        self.val = v
+        self.sum += v * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+def train_model(model, tx, schedule, train_step, params, state, opt_state,
+                train_loader, total_epochs: int, ckpt_dir: str,
+                logger, start_epoch: int = 0, start_it: int = 0,
+                max_ckpt_save_num: int = 5, log_interval: int = 50,
+                rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    it = start_it
+    for epoch in range(start_epoch, total_epochs):
+        train_loader.set_epoch(epoch)
+        data_meter, batch_meter = AverageMeter(), AverageMeter()
+        t_end = time.time()
+        for batch_np in train_loader:
+            data_time = time.time() - t_end
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                     if k != "frame_id"}
+            rng, sub = jax.random.split(rng)
+            params, state, opt_state, loss, tb = train_step(
+                params, state, opt_state, batch, sub, jnp.float32(epoch))
+            it += 1
+            batch_time = time.time() - t_end
+            t_end = time.time()
+            data_meter.update(data_time)
+            batch_meter.update(batch_time)
+            if it % log_interval == 0 or it == 1:
+                loss_v = float(loss)
+                lr = float(schedule(it))
+                tb_s = {k: round(float(v), 4) for k, v in tb.items()}
+                logger.info(
+                    f"epoch {epoch} it {it} loss {loss_v:.4f} lr {lr:.2e} "
+                    f"d_time {data_meter.avg:.3f} b_time {batch_meter.avg:.3f} "
+                    f"{tb_s}")
+        # checkpoint
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch + 1}.pkl")
+        save_checkpoint(path, params, state, opt_state, epoch + 1, it)
+        prune_checkpoints(ckpt_dir, keep=max_ckpt_save_num)
+        logger.info(f"saved {path}")
+    return params, state, opt_state, it
+
+
+def auto_resume(ckpt_dir: str, params, state, opt_state, logger):
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        return params, state, opt_state, 0, 0
+    ckpt = load_checkpoint(path)
+    logger.info(f"auto-resuming from {path} (epoch {ckpt['epoch']})")
+    return (ckpt["params"], ckpt["state"],
+            ckpt["opt_state"] if ckpt["opt_state"] is not None else opt_state,
+            ckpt["epoch"], ckpt["it"])
