@@ -50,14 +50,17 @@ def merge_new_config(config: EasyDict, new_config: dict) -> EasyDict:
     if "_BASE_CONFIG_" in new_config:
         with open(new_config["_BASE_CONFIG_"]) as f:
             base = yaml.safe_load(f)
-        config.update(EasyDict(base))
+        # recursive merge (resolves _BASE_CONFIG_ nested inside the base)
+        merge_new_config(config, base)
     for key, val in new_config.items():
         if key == "_BASE_CONFIG_":
             continue
-        if isinstance(val, dict) and isinstance(config.get(key), dict):
+        if isinstance(val, dict):
+            if not isinstance(config.get(key), dict):
+                config[key] = EasyDict()
             merge_new_config(config[key], val)
         else:
-            config[key] = EasyDict(val) if isinstance(val, dict) else val
+            config[key] = val
     return config
 
 
