@@ -430,6 +430,16 @@ class CAGroup3DHead:
         off_cfg = c.get("LOSS_OFFSET", None)
         beta = float(off_cfg.BETA) if off_cfg else 0.04
 
+        def _lw(key):
+            sub = c.get(key, None)
+            return float(sub.get("LOSS_WEIGHT", 1.0)) if sub else 1.0
+
+        w_vote = _lw("LOSS_OFFSET")
+        w_bbox = _lw("LOSS_BBOX")
+        w_cls = _lw("LOSS_CLS")
+        w_sem = _lw("LOSS_SEM")
+        w_cen = _lw("LOSS_CENTERNESS")
+
         def targets_single(out, boxes, labels, bvalid, spts, svalid, sm, im):
             sem_labels, _ = self.assigner.assign_semantic(
                 out["semantic_points"], out["semantic_valid"], boxes, labels,
@@ -521,7 +531,8 @@ class CAGroup3DHead:
                 wv = (vm.astype(jnp.float32) / n_real + 1e-6)[:, None]
                 l_vote = L.smooth_l1(vo, vt, weight=wv * semv[:, None],
                                      beta=beta, reduction="sum")
-            return l_sem, l_cls, l_cen, l_bbox, l_vote
+            return (w_sem * l_sem, w_cls * l_cls, w_cen * l_cen,
+                    w_bbox * l_bbox, w_vote * l_vote)
 
         losses = jax.vmap(per_scene)(outs, sem_labels, ctgt, btgt, labels,
                                      vtgt, vmask)
