@@ -14,6 +14,7 @@ normalized to start near 0 at voxelization time (see voxelize.py).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # 10 bits per axis.
@@ -50,15 +51,67 @@ def build_index(lat: jnp.ndarray, valid: jnp.ndarray):
     return keys[order], order.astype(jnp.int32)
 
 
+_LANE = 128
+
+
+def _lookup_keys_onehot(sorted_keys, row_of_rank, qk):
+    """Two-level lookup with one-hot MXU matmuls as the only memory op.
+
+    TPU-native replacement for binary search: XLA's scalar gathers are
+    slow on TPU, so instead the sorted table is viewed as [R, 128] rows;
+    stage A finds each query's row by counting row-lead keys <= q (a
+    [Q, R] vector compare), stage B fetches the 128-wide row contents via
+    a one-hot [Q, R] @ [R, 128] matmul (exact: 15-bit halves through f32)
+    and matches within lanes.  O(Q*R) compares + 4 Q x R x 128 matmuls —
+    MXU work instead of pointer chasing.
+    """
+    N = sorted_keys.shape[0]
+    R = N // _LANE
+    k2 = sorted_keys.reshape(R, _LANE)
+    v2 = row_of_rank.reshape(R, _LANE)
+    leads = k2[:, 0]
+    ge = qk[:, None] >= leads[None, :]
+    r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R - 1)
+    oh = jax.nn.one_hot(r, R, dtype=jnp.float32)
+
+    def fetch(tab):
+        hi = jnp.dot(oh, (tab >> 15).astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        lo = jnp.dot(oh, (tab & 0x7FFF).astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        return (hi.astype(jnp.int32) << 15) | lo.astype(jnp.int32)
+
+    rows_k = fetch(k2)
+    rows_v = fetch(v2)
+    eq = rows_k == qk[:, None]
+    hit = jnp.any(eq, axis=1) & (qk != INVALID_KEY)
+    val = jnp.sum(jnp.where(eq, rows_v, 0), axis=1)
+    return jnp.where(hit, val, -1)
+
+
+def _lookup_keys_searchsorted(sorted_keys, row_of_rank, qk):
+    pos = jnp.searchsorted(sorted_keys, qk)
+    pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    hit = (sorted_keys[pos] == qk) & (qk != INVALID_KEY)
+    return jnp.where(hit, row_of_rank[pos], -1)
+
+
+def lookup_keys(sorted_keys, row_of_rank, qk, method: str = "auto"):
+    N = sorted_keys.shape[0]
+    if method == "auto":
+        method = "onehot" if N % _LANE == 0 else "searchsorted"
+    if method == "onehot":
+        return _lookup_keys_onehot(sorted_keys, row_of_rank, qk)
+    return _lookup_keys_searchsorted(sorted_keys, row_of_rank, qk)
+
+
 def lookup(sorted_keys: jnp.ndarray, row_of_rank: jnp.ndarray,
-           query_lat: jnp.ndarray, query_valid: jnp.ndarray) -> jnp.ndarray:
+           query_lat: jnp.ndarray, query_valid: jnp.ndarray,
+           method: str = "auto") -> jnp.ndarray:
     """Find the row index of each query coordinate; -1 when absent.
 
     query_lat: i32[Q, 3] lattice-unit coords.  Assumes the indexed
     coordinate set has no duplicate keys (true post-dedup).
     """
     qk = pack_coords(query_lat, query_valid)
-    pos = jnp.searchsorted(sorted_keys, qk)
-    pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
-    hit = (sorted_keys[pos] == qk) & (qk != INVALID_KEY)
-    return jnp.where(hit, row_of_rank[pos], -1)
+    return lookup_keys(sorted_keys, row_of_rank, qk, method)

@@ -50,6 +50,12 @@ def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
 
 def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
          k: int) -> SparseTensor:
+    if k == 1:  # 1x1 conv == plain matmul, no kernel map needed
+        f = st.masked_feats() @ params[path + ".kernel"][0]
+        b = params.get(path + ".bias")
+        if b is not None:
+            f = f + b
+        return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
     offs = conv_offsets(k, st.stride)
     nbr = _nbr(ctx, st, st.coords, st.valid, offs)
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],

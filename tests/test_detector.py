@@ -117,6 +117,30 @@ def test_train_forward_loss_grads(rng, with_yaw):
     assert float(jnp.abs(grads["backbone_3d.conv1.0.kernel"]).sum()) > 0
 
 
+def test_open_semantic_gate_produces_positives(rng):
+    """With the semantic gate forced open, grouped points must cover the
+    GT boxes and the assigner must yield positive targets (nonzero
+    centerness/bbox losses)."""
+    cfg = tiny_cfg()
+    # the open gate selects every voxel for every class: the fine maps
+    # need capacity for 2x all stride-2 voxels (overflow drops a spatial
+    # slab deterministically, which would hide the GT)
+    cfg.DENSE_HEAD.FINE_CAP = 2048
+    cfg.DENSE_HEAD.EXPAND_CAP = 1024
+    model = build_network(cfg, num_class=4)
+    P, S = model.init(jax.random.PRNGKey(0))
+    # force every voxel through the per-class selection
+    P["dense_head.semantic_conv.bias"] = \
+        P["dense_head.semantic_conv.bias"] * 0 + 5.0
+    batch = synthetic_batch(rng, B=1)
+    loss, tb, _ = model.forward_train(P, S, batch, jax.random.PRNGKey(1),
+                                      cur_epoch=0)
+    assert np.isfinite(float(loss))
+    assert float(tb["loss_centerness"]) > 0, tb
+    assert float(tb["loss_bbox"]) > 0, tb
+    assert float(tb["loss_cls"]) > 0, tb
+
+
 def test_eval_forward(rng):
     cfg = tiny_cfg()
     model = build_network(cfg, num_class=4)

@@ -38,6 +38,19 @@ class TestRotatedIoU:
         exp = mc_intersection_area(a, b)
         assert abs(got - exp) < 0.03 * max(exp, 0.1)
 
+    @pytest.mark.parametrize("seed", range(8))
+    def test_sh_matches_sortbased(self, seed):
+        r = np.random.RandomState(100 + seed)
+        a5 = np.concatenate([r.randn(16, 2), r.rand(16, 2) * 2 + 0.3,
+                             r.rand(16, 1) * 6 - 3], -1).astype(np.float32)
+        b5 = np.concatenate([r.randn(16, 2), r.rand(16, 2) * 2 + 0.3,
+                             r.rand(16, 1) * 6 - 3], -1).astype(np.float32)
+        got = np.asarray(geometry.rotated_intersection_area(
+            jnp.asarray(a5)[:, None], jnp.asarray(b5)[None, :]))
+        exp = np.asarray(geometry.rotated_intersection_area_sortbased(
+            jnp.asarray(a5)[:, None], jnp.asarray(b5)[None, :]))
+        np.testing.assert_allclose(got, exp, atol=2e-3)
+
     def test_identical_boxes(self):
         a = jnp.array([1.0, 2.0, 2.0, 3.0, 0.3])
         area = float(geometry.rotated_intersection_area(a, a))
