@@ -35,15 +35,27 @@ def main():
     batch = {k: jnp.asarray(batch_np[k])
              for k in ("points", "points_valid")}
 
-    fn = jax.jit(lambda P, S, b: model.forward_eval(P, S, b, cur_epoch=10))
+    # Iterations are chained through a data dependency (the previous
+    # output perturbs the input) so the device executes them serially;
+    # a single host fetch at the end avoids per-iteration host RTT
+    # (block_until_ready alone does not reliably block through remote
+    # TPU tunnels).
+    @jax.jit
+    def step(carry):
+        pts = batch["points"] + carry * 1e-12
+        out = model.forward_eval(
+            P, S, dict(points=pts, points_valid=batch["points_valid"]),
+            cur_epoch=10)
+        return jnp.sum(out["pred_scores"])
+
     t0 = time.time()
-    jax.block_until_ready(fn(P, S, batch))
+    _ = float(step(jnp.float32(0.0)))
     compile_s = time.time() - t0
-    # steady state
     t0 = time.time()
+    c = jnp.float32(0.0)
     for _ in range(iters):
-        out = fn(P, S, batch)
-    jax.block_until_ready(out)
+        c = step(c)
+    _ = float(c)  # waits for the whole dependent chain
     dt = (time.time() - t0) / iters
     scenes_per_sec = 1.0 / dt
 

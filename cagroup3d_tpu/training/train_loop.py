@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from .checkpoint import (latest_checkpoint, load_checkpoint,
                          prune_checkpoints, save_checkpoint)
+from ..utils.metrics import LogBuffer, MetricsWriter
 
 
 class AverageMeter:
@@ -33,9 +34,11 @@ def train_model(model, tx, schedule, train_step, params, state, opt_state,
                 train_loader, total_epochs: int, ckpt_dir: str,
                 logger, start_epoch: int = 0, start_it: int = 0,
                 max_ckpt_save_num: int = 5, log_interval: int = 50,
-                rng=None):
+                rng=None, metrics_path=None):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     it = start_it
+    metrics = MetricsWriter(metrics_path)
+    log_buffer = LogBuffer()
     for epoch in range(start_epoch, total_epochs):
         train_loader.set_epoch(epoch)
         data_meter, batch_meter = AverageMeter(), AverageMeter()
@@ -53,19 +56,24 @@ def train_model(model, tx, schedule, train_step, params, state, opt_state,
             data_meter.update(data_time)
             batch_meter.update(batch_time)
             if it % log_interval == 0 or it == 1:
-                loss_v = float(loss)
+                loss_v = float(loss)  # host sync point
                 lr = float(schedule(it))
                 tb_s = {k: round(float(v), 4) for k, v in tb.items()}
+                log_buffer.update(tb_s)
+                log_buffer.average(log_interval)
+                metrics.write(it, dict(loss=loss_v, lr=lr, **tb_s),
+                              prefix="train/")
                 logger.info(
                     f"epoch {epoch} it {it} loss {loss_v:.4f} lr {lr:.2e} "
                     f"d_time {data_meter.avg:.3f} b_time {batch_meter.avg:.3f} "
-                    f"{tb_s}")
+                    f"{log_buffer.output}")
         # checkpoint
         os.makedirs(ckpt_dir, exist_ok=True)
         path = os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch + 1}.pkl")
         save_checkpoint(path, params, state, opt_state, epoch + 1, it)
         prune_checkpoints(ckpt_dir, keep=max_ckpt_save_num)
         logger.info(f"saved {path}")
+    metrics.close()
     return params, state, opt_state, it
 
 

@@ -30,6 +30,8 @@ def parse_config():
     parser.add_argument("--dist", action="store_true", default=False,
                         help="multi-host: call jax.distributed.initialize")
     parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace here")
     parser.add_argument("--set", dest="set_cfgs", default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -101,11 +103,13 @@ def main():
     train_step = make_train_step(model, tx, mesh=mesh)
 
     logger.info("**********************Start training**********************")
-    with mesh:
+    from cagroup3d_tpu.utils.metrics import profile_ctx
+    with mesh, profile_ctx(args.profile_dir):
         train_model(model, tx, schedule, train_step, params, state,
                     opt_state, train_loader, epochs, str(ckpt_dir), logger,
                     start_epoch=start_epoch, start_it=start_it,
-                    max_ckpt_save_num=args.max_ckpt_save_num)
+                    max_ckpt_save_num=args.max_ckpt_save_num,
+                    metrics_path=str(output_dir / "metrics.jsonl"))
     logger.info("**********************End training**********************")
 
 
