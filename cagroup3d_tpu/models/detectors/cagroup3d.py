@@ -24,23 +24,18 @@ import jax.numpy as jnp
 from ...core.module import Ctx, Params
 from ...core.sparse import SparseTensor
 from ...core.voxelize import unique_voxels
-from ..backbones_3d import BiResNet
-from ..dense_heads.cagroup_head import CAGroup3DHead
-from ..roi_heads.cagroup_roi_head import CAGroup3DRoIHead
+from .detector3d_template import Detector3DTemplate
 
 
-class CAGroup3D:
+class CAGroup3D(Detector3DTemplate):
     def __init__(self, model_cfg, num_class: int, dataset=None):
-        self.model_cfg = model_cfg
-        self.num_class = num_class
-        self.dataset = dataset
+        super().__init__(model_cfg=model_cfg, num_class=num_class,
+                         dataset=dataset)
+        self.module_list = self.build_networks()
         self.voxel_size = model_cfg.VOXEL_SIZE
         self.semantic_min_threshold = model_cfg.SEMANTIC_MIN_THR
         self.semantic_iter_value = model_cfg.SEMANTIC_ITER_VALUE
         self.semantic_value = model_cfg.SEMANTIC_THR
-        self.backbone_3d = BiResNet(model_cfg.BACKBONE_3D)
-        self.dense_head = CAGroup3DHead(model_cfg.DENSE_HEAD)
-        self.roi_head = CAGroup3DRoIHead(model_cfg.ROI_HEAD)
         self.input_cap = int(model_cfg.get("INPUT_CAP",
                                            self.backbone_3d.caps[1]))
         self.ins_cap = int(model_cfg.get("INS_CAP", 128))

@@ -1,0 +1,97 @@
+"""Detector template: module-slot topology + registries + checkpoint IO.
+
+Rebuild of pcdet/models/detectors/detector3d_template.py: detectors are
+assembled from the fixed 8-slot topology (vfe, backbone_3d, map_to_bev,
+pfe, backbone_2d, dense_head, point_head, roi_head), each slot built from
+its registry by config NAME.  The functional-JAX twist: modules are
+stateless builders exposing ``init`` (flat param/state dicts) and apply
+methods; the template concatenates their dicts.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+
+from ...core.module import Params
+
+
+class Detector3DTemplate:
+    module_topology = [
+        "vfe", "backbone_3d", "map_to_bev_module", "pfe", "backbone_2d",
+        "dense_head", "point_head", "roi_head",
+    ]
+
+    def __init__(self, model_cfg, num_class: int, dataset=None):
+        self.model_cfg = model_cfg
+        self.num_class = num_class
+        self.dataset = dataset
+        self.class_names = getattr(dataset, "class_names", None)
+
+    # ------------------------------------------------------------------
+    def build_networks(self) -> List:
+        modules = []
+        for name in self.module_topology:
+            mod = getattr(self, f"build_{name}")()
+            if mod is not None:
+                setattr(self, name, mod)
+                modules.append(mod)
+        return modules
+
+    def _cfg(self, key):
+        return self.model_cfg.get(key, None)
+
+    def build_vfe(self):
+        return None  # indoor models voxelize on-device (cagroup3d.py)
+
+    def build_backbone_3d(self):
+        cfg = self._cfg("BACKBONE_3D")
+        if cfg is None:
+            return None
+        from ..backbones_3d import __all__ as registry
+        return registry[cfg.NAME](cfg)
+
+    def build_map_to_bev_module(self):
+        return None
+
+    def build_pfe(self):
+        return None
+
+    def build_backbone_2d(self):
+        return None
+
+    def build_dense_head(self):
+        cfg = self._cfg("DENSE_HEAD")
+        if cfg is None:
+            return None
+        from ..dense_heads import __all__ as registry
+        return registry[cfg.NAME](cfg)
+
+    def build_point_head(self):
+        cfg = self._cfg("POINT_HEAD")
+        if cfg is None:
+            return None
+        from ..dense_heads import __all__ as registry
+        return registry[cfg.NAME](cfg)
+
+    def build_roi_head(self):
+        cfg = self._cfg("ROI_HEAD")
+        if cfg is None:
+            return None
+        from ..roi_heads import __all__ as registry
+        return registry[cfg.NAME](cfg)
+
+    # ------------------------------------------------------------------
+    def init(self, rng) -> Tuple[Params, Params]:
+        raise NotImplementedError
+
+    def load_params_from_file(self, filename, logger=None, to_cpu=False):
+        """Load a native checkpoint or a converted reference one (both are
+        flat param/state pickles; see training/checkpoint.py and
+        tools/convert_reference_ckpt.py)."""
+        from ...training.checkpoint import load_checkpoint
+        ckpt = load_checkpoint(filename)
+        if logger:
+            logger.info(f"==> Loading parameters from {filename} "
+                        f"(version {ckpt.get('version')})")
+        return ckpt["params"], ckpt["state"]

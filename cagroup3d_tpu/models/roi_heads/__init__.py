@@ -1,0 +1,5 @@
+from .cagroup_roi_head import CAGroup3DRoIHead
+
+__all__ = {
+    "CAGroup3DRoIHead": CAGroup3DRoIHead,
+}
