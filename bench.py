@@ -20,6 +20,12 @@ BASELINE_SCENES_PER_SEC = 2.5  # reference repo's own 400 ms/scene
 def main():
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the full-size eval graph is expensive to
+    # compile (remote compile service); cache it across bench runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/tmp/cagroup3d_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     from __graft_entry__ import _build_model
     from cagroup3d_tpu.utils.synthetic import synthetic_batch
 
@@ -28,7 +34,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     model = _build_model(tiny=False, input_cap=input_cap, fine_cap=fine_cap)
-    P, S = model.init(jax.random.PRNGKey(0))
+    P, S = jax.jit(model.init)(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     batch_np = synthetic_batch(rng, batch_size=1, n_points=100_000,
                                point_cap=100_000)

@@ -70,19 +70,15 @@ def _lookup_keys_onehot(sorted_keys, row_of_rank, qk):
     k2 = sorted_keys.reshape(R, _LANE)
     v2 = row_of_rank.reshape(R, _LANE)
     leads = k2[:, 0]
+    # stage A: which 128-wide row holds q (lead-key counting; for large R
+    # chunk the [Q, R] compare to bound the transient)
     ge = qk[:, None] >= leads[None, :]
     r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R - 1)
-    oh = jax.nn.one_hot(r, R, dtype=jnp.float32)
-
-    def fetch(tab):
-        hi = jnp.dot(oh, (tab >> 15).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        lo = jnp.dot(oh, (tab & 0x7FFF).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        return (hi.astype(jnp.int32) << 15) | lo.astype(jnp.int32)
-
-    rows_k = fetch(k2)
-    rows_v = fetch(v2)
+    # stage B: fetch the row contents with a 128-wide ROW gather (the fast
+    # TPU gather shape; scalar gathers and [Q, R] one-hot matmuls are both
+    # pathological at full capacities) and match within lanes.
+    rows_k = jnp.take(k2, r, axis=0)            # [Q, 128]
+    rows_v = jnp.take(v2, r, axis=0)
     eq = rows_k == qk[:, None]
     hit = jnp.any(eq, axis=1) & (qk != INVALID_KEY)
     val = jnp.sum(jnp.where(eq, rows_v, 0), axis=1)
@@ -103,6 +99,72 @@ def lookup_keys(sorted_keys, row_of_rank, qk, method: str = "auto"):
     if method == "onehot":
         return _lookup_keys_onehot(sorted_keys, row_of_rank, qk)
     return _lookup_keys_searchsorted(sorted_keys, row_of_rank, qk)
+
+
+def lower_bound_pos(sorted_keys: jnp.ndarray, qk: jnp.ndarray) -> jnp.ndarray:
+    """Index of the last key <= qk (-1 if none), via the two-level row
+    scheme (only ONE key-row fetch per query; no value fetch)."""
+    N = sorted_keys.shape[0]
+    R = N // _LANE
+    k2 = sorted_keys.reshape(R, _LANE)
+    leads = k2[:, 0]
+    ge = qk[:, None] >= leads[None, :]
+    r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R - 1)
+    rows = jnp.take(k2, r, axis=0)
+    cnt = jnp.sum((rows <= qk[:, None]).astype(jnp.int32), axis=1)
+    return r * _LANE + cnt - 1
+
+
+def window_slices(arr: jnp.ndarray, starts: jnp.ndarray, width: int
+                  ) -> jnp.ndarray:
+    """Contiguous [width]-slices of a 1-D array at per-query starts
+    (efficient TPU slice-gather, unlike per-element gathers)."""
+    N = arr.shape[0]
+    starts = jnp.clip(starts, 0, N - width)
+    return jax.lax.gather(
+        arr, starts[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(width,), mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def lookup_z_window(sorted_keys, row_of_rank, base_lat, base_valid,
+                    dz_list, window: int = 16):
+    """Lookup a run of z-offset neighbors with ONE position search.
+
+    Packed keys are z-minor: key(c + (0,0,dz)) == key(c) + dz, and at most
+    |dz| distinct integer keys can lie strictly between, so the rank of
+    every neighbor is within +-max|dz| of the base key's lower-bound rank.
+    One lower_bound + one [window]-slice gather answers all dz variants.
+
+    base_lat: i32[Q, 3]; dz_list: static list of ints (lattice units).
+    Returns nbr i32[len(dz_list), Q].
+    """
+    N0 = sorted_keys.shape[0]
+    if N0 % _LANE != 0:  # pad table to a whole number of 128-lanes
+        pad = _LANE - N0 % _LANE
+        sorted_keys = jnp.pad(sorted_keys, (0, pad),
+                              constant_values=int(INVALID_KEY))
+        row_of_rank = jnp.pad(row_of_rank, (0, pad))
+    qk = pack_coords(base_lat, base_valid)
+    # base z digit (with margin) for per-dz range checks
+    zd = base_lat[:, 2] + _MARGIN
+    pos = lower_bound_pos(sorted_keys, jnp.where(qk == INVALID_KEY, 0, qk))
+    d = max(max(abs(z) for z in dz_list), 1)
+    start = pos - d - 1
+    wk = window_slices(sorted_keys, start, window)
+    wv = window_slices(row_of_rank, start, window)
+    outs = []
+    for dz in dz_list:
+        tk = qk + dz
+        ok = base_valid & (qk != INVALID_KEY) & (zd + dz >= 0) & \
+            (zd + dz < _EXTENT)
+        eq = wk == tk[:, None]
+        hit = jnp.any(eq, axis=1) & ok
+        val = jnp.sum(jnp.where(eq, wv, 0), axis=1)
+        outs.append(jnp.where(hit, val, -1))
+    return jnp.stack(outs)
 
 
 def lookup(sorted_keys: jnp.ndarray, row_of_rank: jnp.ndarray,

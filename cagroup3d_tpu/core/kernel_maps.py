@@ -60,6 +60,41 @@ def neighbor_table(src: SparseTensor, tgt_coords: jnp.ndarray,
     return nbr.reshape(K, N)
 
 
+def neighbor_table_grouped(src: SparseTensor, tgt_coords: jnp.ndarray,
+                           tgt_valid: jnp.ndarray, kernel_size: int
+                           ) -> jnp.ndarray:
+    """nbr i32[K^3, N] for an odd kernel whose offsets are multiples of the
+    source stride (submanifold / strided conv / conv-at-aligned-coords).
+
+    Uses the z-run window trick (hashing.lookup_z_window): one position
+    search per (dx, dy) group instead of one per offset — K^2 searches
+    for K^3 offsets.  Offset order matches kernel_offsets (z fastest).
+    """
+    from .hashing import build_index, lookup_z_window
+
+    k = kernel_size
+    assert k % 2 == 1
+    h = k // 2
+    s = src.stride
+    sorted_keys, row_of_rank = build_index(
+        jnp.floor_divide(src.coords, s), src.valid)
+    N = tgt_coords.shape[0]
+    base = jnp.floor_divide(tgt_coords, s)
+    dz_list = list(range(-h, h + 1))
+    rows = []
+    for dx in range(-h, h + 1):
+        # batch the k dy-groups of this dx in one lookup call
+        bl = jnp.stack([base + jnp.asarray([dx, dy, 0], jnp.int32)
+                        for dy in range(-h, h + 1)])       # [k, N, 3]
+        nbr = lookup_z_window(sorted_keys, row_of_rank,
+                              bl.reshape(k * N, 3),
+                              jnp.broadcast_to(tgt_valid, (k, N)).reshape(-1),
+                              dz_list)                     # [k(dz), k*N]
+        nbr = nbr.reshape(k, k, N)                         # [dz, dy, N]
+        rows.append(jnp.swapaxes(nbr, 0, 1))               # [dy, dz, N]
+    return jnp.concatenate(rows, axis=0).reshape(k ** 3, N)
+
+
 def conv_offsets(kernel_size: int, src_stride: int) -> np.ndarray:
     """Offsets for a (possibly strided) convolution: input-stride units."""
     return kernel_offsets(kernel_size) * src_stride

@@ -87,6 +87,65 @@ def scan_conv(src_coords: jnp.ndarray, src_valid: jnp.ndarray,
     return jnp.where(tgt_valid[:, None], out, 0.0)
 
 
+def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
+                      tgt_coords, tgt_valid, kernel_size: int,
+                      w: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Fused grouped conv for odd kernels with stride-aligned targets.
+
+    Scans over the K dx-planes; within a step the K dy-groups each do one
+    z-run window lookup (K^2 position searches total for K^3 offsets) and
+    one [N, K*Cin] x [K*Cin, Cout] MXU contraction.  Feature gathers run
+    in ``compute_dtype`` (bf16 halves the dominant gather traffic);
+    accumulation stays f32.
+    """
+    from .hashing import build_index, lookup_z_window
+
+    k = kernel_size
+    assert k % 2 == 1
+    h = k // 2
+    s = src_stride
+    sorted_keys, row_of_rank = build_index(
+        jnp.floor_divide(src_coords, s), src_valid)
+    feats = jnp.where(src_valid[:, None], src_feats, 0.0).astype(compute_dtype)
+    base = jnp.floor_divide(tgt_coords, s)
+    N = tgt_coords.shape[0]
+    cout = w.shape[-1]
+    dz_list = list(range(-h, h + 1))
+    wr = w.astype(compute_dtype).reshape(k, k, k, w.shape[1], cout)
+
+    def step(acc, dx):
+        bl = base[None, :, :] + \
+            jnp.stack([jnp.stack([dx, jnp.int32(dy), jnp.int32(0)])
+                       for dy in range(-h, h + 1)])[:, None, :]
+        nbr = lookup_z_window(sorted_keys, row_of_rank,
+                              bl.reshape(k * N, 3),
+                              jnp.broadcast_to(tgt_valid, (k, N)).reshape(-1),
+                              dz_list)                  # [k(dz), k(dy)*N]
+        nbr = nbr.reshape(k, k, N)                      # [dz, dy, N]
+        # weight slice for this dx: [dy, dz, Cin, Cout]
+        wslice = jax.lax.dynamic_index_in_dim(wr, dx + h, axis=0,
+                                              keepdims=False)
+        for dy in range(k):
+            idx = nbr[:, dy, :]                          # [k(dz), N]
+            g = jnp.take(feats, jnp.maximum(idx, 0).reshape(-1), axis=0)
+            g = jnp.where((idx >= 0).reshape(-1)[:, None], g, 0)
+            g = g.reshape(k, N, -1)                      # [dz, N, Cin]
+            acc = acc + jax.lax.dot_general(
+                jnp.swapaxes(g, 0, 1).reshape(N, -1),     # [N, k*Cin]
+                wslice[dy].reshape(-1, cout),             # [k*Cin, Cout]
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((N, cout), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0,
+                          jnp.arange(-h, h + 1, dtype=jnp.int32))
+    if bias is not None:
+        out = out + bias
+    return jnp.where(tgt_valid[:, None], out, 0.0)
+
+
 def subm_conv(src: SparseTensor, w: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,
               kernel_size: int = 3) -> SparseTensor:

@@ -25,7 +25,7 @@ from ...core.module import (Ctx, Params, init_bn, init_conv, me_default_conv,
                             normal_conv)
 from ...core.norm import elu, masked_batch_norm
 from ...core.sparse import SparseTensor
-from ...core.sparse_conv import scan_conv
+from ...core.sparse_conv import scan_conv, scan_conv_grouped
 from ...core.voxelize import voxelize_points
 from ...core import nms as nms_mod
 from ..layers import act, bn, subm
@@ -220,20 +220,20 @@ class CAGroup3DHead:
         # fine: stacked SparseTensor pieces [n_cls, FINE_CAP, ...] on the
         # per-class lattice (stride 1); coarse on the x{expand} lattice.
 
-        # per-class k9 conv on the fine map
-        k_fine = conv_offsets(self.cls_kernel, 1)
+        # per-class k9 conv on the fine map (grouped z-run lookup)
         f_out = jax.vmap(
-            lambda co, va, fe, w: scan_conv(co, va, fe, 1, co, va, k_fine, w)
+            lambda co, va, fe, w: scan_conv_grouped(
+                co, va, fe, 1, co, va, self.cls_kernel, w)
         )(fine.coords, fine.valid, fine.feats,
           P[pre + ".cls_individual_out.0.kernel"])
         f_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_out.1", f_out,
                             fine.valid)
         f_out = jnp.where(fine.valid[..., None], elu(f_out), 0.0)
 
-        # expanded map: coords in fine-lattice units = coarse_lat * expand
-        k_exp = conv_offsets(5, 1)  # on the coarse lattice (its own units)
+        # expanded map: k5 on the coarse lattice (its own units)
         e_out = jax.vmap(
-            lambda co, va, fe, w: scan_conv(co, va, fe, 1, co, va, k_exp, w)
+            lambda co, va, fe, w: scan_conv_grouped(
+                co, va, fe, 1, co, va, 5, w)
         )(coarse.coords, coarse.valid, coarse.feats,
           P[pre + ".cls_individual_expand_out.0.kernel"])
         e_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_expand_out.1",

@@ -15,7 +15,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..core.kernel_maps import conv_offsets, neighbor_table, transpose_offsets
+from ..core.kernel_maps import (conv_offsets, neighbor_table,
+                                neighbor_table_grouped, transpose_offsets)
 from ..core.module import Ctx, Params, apply_bn
 from ..core.norm import elu, relu
 from ..core.sparse import SparseTensor
@@ -41,6 +42,14 @@ def _nbr(ctx: Ctx, src: SparseTensor, tgt_coords, tgt_valid, offsets):
                                                      tgt_valid, offsets)))[2]
 
 
+def _nbr_odd(ctx: Ctx, src: SparseTensor, tgt_coords, tgt_valid, k: int):
+    """Grouped-lookup neighbor table for odd stride-aligned kernels."""
+    key = ("nbrg", id(src.coords), id(tgt_coords), k, src.stride)
+    return _cached(ctx, key, lambda: (src.coords, tgt_coords,
+                                      neighbor_table_grouped(
+                                          src, tgt_coords, tgt_valid, k)))[2]
+
+
 def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
     key = ("reduce", id(st.coords), factor, cap)
     out, _ = _cached(ctx, key,
@@ -56,8 +65,7 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
         if b is not None:
             f = f + b
         return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
-    offs = conv_offsets(k, st.stride)
-    nbr = _nbr(ctx, st, st.coords, st.valid, offs)
+    nbr = _nbr_odd(ctx, st, st.coords, st.valid, k)
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
                     params.get(path + ".bias"))
     return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
@@ -66,8 +74,10 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
 def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
          factor: int, cap: int) -> SparseTensor:
     out = reduce_coords(ctx, st, factor, cap)
-    offs = conv_offsets(k, st.stride)
-    nbr = _nbr(ctx, st, out.coords, out.valid, offs)
+    if k % 2 == 1:
+        nbr = _nbr_odd(ctx, st, out.coords, out.valid, k)
+    else:
+        nbr = _nbr(ctx, st, out.coords, out.valid, conv_offsets(k, st.stride))
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
                     params.get(path + ".bias"))
     return SparseTensor(out.coords, jnp.where(out.valid[:, None], f, 0.0),
@@ -77,8 +87,10 @@ def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
 def conv_at(params: Params, ctx: Ctx, path: str, src: SparseTensor,
             tgt_coords, tgt_valid, k: int,
             out_stride: Optional[int] = None) -> SparseTensor:
-    offs = conv_offsets(k, src.stride)
-    nbr = _nbr(ctx, src, tgt_coords, tgt_valid, offs)
+    if k % 2 == 1:
+        nbr = _nbr_odd(ctx, src, tgt_coords, tgt_valid, k)
+    else:
+        nbr = _nbr(ctx, src, tgt_coords, tgt_valid, conv_offsets(k, src.stride))
     f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
                     params.get(path + ".bias"))
     return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),

@@ -24,7 +24,7 @@ from ...core.module import (Ctx, Params, apply_bn, apply_linear, dropout,
                             init_bn, init_conv, init_linear)
 from ...core.norm import elu, relu
 from ...core.sparse import SparseTensor
-from ...core.sparse_conv import scan_conv
+from ...core.sparse_conv import scan_conv, scan_conv_grouped
 from ...core.voxelize import unique_voxels
 from ...core import nms as nms_mod
 from ..model_utils.cagroup_utils import CAGroupResidualCoder
@@ -120,9 +120,9 @@ class CAGroup3DRoIHead:
         ded, inv = unique_voxels(lat, jnp.zeros((R * g3, 1)), pvalid,
                                  self.grid_cap, mode="first")
         qcoords = ded.coords * self.coord_key       # raw units on st lattice
-        offs = conv_offsets(self.roi_conv_kernel, st.stride)
-        f = scan_conv(st.coords, st.valid, st.feats, st.stride, qcoords,
-                      ded.valid, offs, P[pl + ".grid_conv.kernel"])
+        f = scan_conv_grouped(st.coords, st.valid, st.feats, st.stride,
+                              qcoords, ded.valid, self.roi_conv_kernel,
+                              P[pl + ".grid_conv.kernel"])
         f = apply_bn(P, S, ctx, pl + ".grid_bn", f, ded.valid)
         f = jnp.where(ded.valid[:, None], elu(f), 0.0)
 

@@ -12,6 +12,31 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def statistics_info(recall_dict, pred_boxes, gt_boxes,
+                    thresh_list=(0.25, 0.5)):
+    """Accumulate recall counters (reference eval_utils.py:12-19 /
+    detector3d_template.generate_recall_record): a GT box is recalled at
+    threshold t if some prediction overlaps it with 3D IoU > t."""
+    from ..datasets.indoor_eval import d3_box_overlap
+
+    if not recall_dict:
+        recall_dict = {"gt": 0}
+        for t in thresh_list:
+            recall_dict[f"rcnn_{t}"] = 0
+    n_gt = len(gt_boxes)
+    recall_dict["gt"] += n_gt
+    if n_gt == 0:
+        return recall_dict
+    if len(pred_boxes) == 0:
+        return recall_dict
+    iou = d3_box_overlap(np.asarray(pred_boxes[:, :7]),
+                         np.asarray(gt_boxes[:, :7]))
+    best = iou.max(axis=0)
+    for t in thresh_list:
+        recall_dict[f"rcnn_{t}"] += int((best > t).sum())
+    return recall_dict
+
+
 def eval_one_epoch(model, eval_step, params, state, dataset, loader,
                    epoch_id, logger, result_dir: Path = None,
                    class_names=None):
@@ -19,6 +44,7 @@ def eval_one_epoch(model, eval_step, params, state, dataset, loader,
     det_annos: List[Dict] = []
     total_time = 0.0
     n_scenes = 0
+    recall_dict: Dict = {}
     for batch_np in loader:
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()
                  if k in ("points", "points_valid")}
@@ -37,11 +63,18 @@ def eval_one_epoch(model, eval_step, params, state, dataset, loader,
             pred_dicts.append(dict(pred_boxes=boxes[b][v],
                                    pred_scores=scores[b][v],
                                    pred_labels=labels[b][v]))
+            if "gt_boxes" in batch_np:
+                gt = batch_np["gt_boxes"][b][batch_np["gt_valid"][b]]
+                recall_dict = statistics_info(recall_dict, boxes[b][v], gt)
         det_annos += dataset.generate_prediction_dicts(
             batch_np, pred_dicts, class_names)
     logger.info(f"eval: {n_scenes} scenes, "
                 f"{total_time / max(n_scenes, 1) * 1e3:.1f} ms/scene "
                 f"(incl. host transfer)")
+    if recall_dict.get("gt", 0) > 0:
+        for k, v in recall_dict.items():
+            if k != "gt":
+                logger.info(f"recall_{k}: {v / recall_dict['gt']:.4f}")
     if result_dir is not None:
         result_dir.mkdir(parents=True, exist_ok=True)
         with open(result_dir / "result.pkl", "wb") as f:

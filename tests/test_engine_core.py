@@ -165,6 +165,34 @@ class TestSparseConv:
                                    atol=1e-4)
 
 
+class TestGroupedLookup:
+    @pytest.mark.parametrize("k,stride", [(3, 1), (5, 2), (9, 1), (3, 4)])
+    def test_matches_generic_table(self, rng, k, stride):
+        from cagroup3d_tpu.core.kernel_maps import neighbor_table_grouped
+        st, coords, feats = random_sparse(rng, 80, 4, extent=14,
+                                          stride=stride)
+        # query at the source coords plus some arbitrary aligned targets
+        extra = rng.randint(0, 16, size=(24, 3)).astype(np.int32) * stride
+        tgt = np.concatenate([coords, extra])
+        tv = jnp.ones(len(tgt), bool)
+        offs = kernel_offsets(k) * stride
+        ref = np.asarray(neighbor_table(st, jnp.asarray(tgt), tv, offs))
+        got = np.asarray(neighbor_table_grouped(st, jnp.asarray(tgt), tv, k))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_scan_conv_grouped_matches_oracle(self, rng):
+        from cagroup3d_tpu.core.sparse_conv import scan_conv_grouped
+        st, coords, feats = random_sparse(rng, 60, 8)
+        w = rng.randn(27, 8, 6).astype(np.float32) * 0.1
+        b = rng.randn(6).astype(np.float32)
+        out = scan_conv_grouped(st.coords, st.valid, st.feats, 1, st.coords,
+                                st.valid, 3, jnp.asarray(w), jnp.asarray(b),
+                                compute_dtype=jnp.float32)
+        exp = naive_conv(coords, feats, coords, w, kernel_offsets(3), b)
+        np.testing.assert_allclose(np.asarray(out)[:len(coords)], exp,
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestPooling:
     def test_avg_pool_oracle(self, rng):
         st, coords, feats = random_sparse(rng, 60, 3, extent=16, stride=1)

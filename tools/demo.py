@@ -73,7 +73,7 @@ def main():
         params, state = ck["params"], ck["state"]
     else:
         logger.warning("no --ckpt given; using random init")
-        params, state = model.init(jax.random.PRNGKey(0))
+        params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     eval_step = make_eval_step(model)
 
     results = []

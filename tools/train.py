@@ -87,7 +87,7 @@ def main():
 
     model = build_network(model_cfg=cfg.MODEL,
                           num_class=len(cfg.CLASS_NAMES), dataset=dataset)
-    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     if args.ckpt is not None:
         ck = load_checkpoint(args.ckpt)
         params, state = ck["params"], ck["state"]
