@@ -147,14 +147,28 @@ def lookup_z_window(sorted_keys, row_of_rank, base_lat, base_valid,
         sorted_keys = jnp.pad(sorted_keys, (0, pad),
                               constant_values=int(INVALID_KEY))
         row_of_rank = jnp.pad(row_of_rank, (0, pad))
+    N = sorted_keys.shape[0]
+    R = N // _LANE
+    k2 = sorted_keys.reshape(R, _LANE)
+    v2 = row_of_rank.reshape(R, _LANE)
+
     qk = pack_coords(base_lat, base_valid)
     # base z digit (with margin) for per-dz range checks
     zd = base_lat[:, 2] + _MARGIN
-    pos = lower_bound_pos(sorted_keys, jnp.where(qk == INVALID_KEY, 0, qk))
     d = max(max(abs(z) for z in dz_list), 1)
-    start = pos - d - 1
-    wk = window_slices(sorted_keys, start, window)
-    wv = window_slices(row_of_rank, start, window)
+    pos = lower_bound_pos(sorted_keys, jnp.where(qk == INVALID_KEY, 0, qk))
+    # fetch the two consecutive 128-lanes covering ranks [pos-d, pos+d]
+    # (128-row gathers are the fast TPU gather shape; generic slice
+    # gathers scalarize)
+    r0 = jnp.clip((pos - d) >> 7, 0, R - 1)
+    r1 = jnp.clip(r0 + 1, 0, R - 1)
+    k_hi = jnp.take(k2, r1, axis=0)
+    # mask the duplicate row at the table tail (r1 == r0) so unique keys
+    # cannot match twice
+    k_hi = jnp.where((r1 > r0)[:, None], k_hi, INVALID_KEY)
+    wk = jnp.concatenate([jnp.take(k2, r0, axis=0), k_hi], axis=1)  # [Q,256]
+    wv = jnp.concatenate([jnp.take(v2, r0, axis=0),
+                          jnp.take(v2, r1, axis=0)], axis=1)
     outs = []
     for dz in dz_list:
         tk = qk + dz
