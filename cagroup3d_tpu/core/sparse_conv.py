@@ -146,6 +146,157 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
     return jnp.where(tgt_valid[:, None], out, 0.0)
 
 
+def scan_conv_grouped_classes(coords, valid, feats, stride: int,
+                              kernel_size: int, w,
+                              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Per-class grouped submanifold conv with the class axis FLATTENED
+    out of every gather.
+
+    The dense head's per-class maps (cagroup_head.py class-aware grouping)
+    could be vmapped over classes, but batched gathers scalarize on TPU.
+    Instead all per-class sorted tables are laid out in one flat array and
+    row indices get a static class offset, so stage-A/B lookups, window
+    fetches and feature gathers are all plain flat row-gathers.
+
+    coords i32[G, N, 3] (lattice units, stride==1 semantics handled by
+    caller), valid [G, N], feats [G, N, C], w [G, K^3, Cin, Cout].
+    Returns [G, N, Cout] f32.
+    """
+    from .hashing import (INVALID_KEY, _LANE, _MARGIN, _EXTENT, pack_coords)
+
+    G, N, Cin = feats.shape
+    k = kernel_size
+    assert k % 2 == 1
+    h = k // 2
+    cout = w.shape[-1]
+    assert N % _LANE == 0, "per-class capacity must be a multiple of 128"
+    R = N // _LANE
+
+    # per-class sorted tables, flattened to [G*R, 128]
+    keys = pack_coords(jnp.floor_divide(coords, stride), valid)   # [G, N]
+    order = jnp.argsort(keys, axis=1).astype(jnp.int32)
+    skeys = jnp.take_along_axis(keys, order, axis=1)
+    k2 = skeys.reshape(G * R, _LANE)
+    v2 = order.reshape(G * R, _LANE)          # row ids within class
+    leads = skeys[:, ::_LANE]                 # [G, R]
+
+    feats_flat = jnp.where(valid[..., None], feats, 0.0).astype(
+        compute_dtype).reshape(G * N, Cin)
+    base = jnp.floor_divide(coords, stride)
+    cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R)[:, None, None]
+    cls_feat0 = (jnp.arange(G, dtype=jnp.int32) * N)[:, None, None]
+    zd = base[..., 2] + _MARGIN               # [G, N]
+    wr = w.astype(compute_dtype).reshape(G, k, k, k, Cin, cout)
+    dz_list = list(range(-h, h + 1))
+
+    def step(acc, dx):
+        # bases for the k dy-groups: [G, k, N, 3]
+        dyo = jnp.stack([jnp.stack([dx, jnp.int32(dy), jnp.int32(0)])
+                         for dy in range(-h, h + 1)])          # [k, 3]
+        bl = base[:, None, :, :] + dyo[None, :, None, :]
+        qk = pack_coords(bl, jnp.broadcast_to(valid[:, None, :],
+                                              (G, k, N)))     # [G, k, N]
+        # stage A: row within class, then flat row id
+        ge = qk[..., None] >= leads[:, None, None, :]          # [G,k,N,R]
+        r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
+        rows = jnp.take(k2, (r + cls_row0).reshape(-1), axis=0)
+        rows = rows.reshape(G, k, N, _LANE)
+        cnt = jnp.sum((rows <= qk[..., None]).astype(jnp.int32), axis=-1)
+        pos = r * _LANE + cnt - 1                              # [G, k, N]
+        r0 = jnp.clip((pos - h) >> 7, 0, R - 1)
+        r1 = jnp.clip(r0 + 1, 0, R - 1)
+        k_lo = jnp.take(k2, (r0 + cls_row0).reshape(-1), axis=0)
+        k_hi = jnp.take(k2, (r1 + cls_row0).reshape(-1), axis=0)
+        k_hi = jnp.where((r1 > r0).reshape(-1)[:, None], k_hi, INVALID_KEY)
+        wk = jnp.concatenate([k_lo, k_hi], axis=1)             # [GkN, 256]
+        v_lo = jnp.take(v2, (r0 + cls_row0).reshape(-1), axis=0)
+        v_hi = jnp.take(v2, (r1 + cls_row0).reshape(-1), axis=0)
+        wv = jnp.concatenate([v_lo, v_hi], axis=1)
+        qkf = qk.reshape(-1)
+        zdf = jnp.broadcast_to(zd[:, None, :], (G, k, N)).reshape(-1)
+
+        wslice = jax.lax.dynamic_index_in_dim(
+            jnp.swapaxes(wr, 0, 1), dx + h, axis=0, keepdims=False)
+        # wslice: [G, k(dy), k(dz), Cin, Cout]
+        for dzi, dz in enumerate(dz_list):
+            tk = qkf + dz
+            ok = (qkf != INVALID_KEY) & (zdf + dz >= 0) & \
+                (zdf + dz < _EXTENT)
+            eq = wk == tk[:, None]
+            hit = jnp.any(eq, axis=1) & ok
+            row = jnp.sum(jnp.where(eq, wv, 0), axis=1)        # [G*k*N]
+            row = row.reshape(G, k, N) + cls_feat0
+            g = jnp.take(feats_flat, row.reshape(-1), axis=0)
+            g = jnp.where(hit[:, None], g, 0).reshape(G, k, N, Cin)
+            # accumulate: per class and dy-group matmul on MXU
+            acc = acc + jnp.einsum(
+                "gdnc,gdco->gno", g, wslice[:, :, dzi],
+                preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((G, N, cout), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0,
+                          jnp.arange(-h, h + 1, dtype=jnp.int32))
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
+                         tgt_coords, tgt_valid, offsets: np.ndarray, w,
+                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Per-class conv at target coords with explicit offsets (covers the
+    generative transposed conv of the head's expand path), class axis
+    flattened out of every gather like scan_conv_grouped_classes.
+
+    src_* [G, M, ...]; tgt_* [G, N, ...]; offsets raw-unit i32[K, 3]
+    (sign convention of the caller); w [G, K, Cin, Cout].
+    """
+    from .hashing import INVALID_KEY, _LANE, pack_coords
+
+    G, M, Cin = src_feats.shape
+    N = tgt_coords.shape[1]
+    K = offsets.shape[0]
+    cout = w.shape[-1]
+    assert M % _LANE == 0
+    R = M // _LANE
+
+    keys = pack_coords(jnp.floor_divide(src_coords, src_stride), src_valid)
+    order = jnp.argsort(keys, axis=1).astype(jnp.int32)
+    skeys = jnp.take_along_axis(keys, order, axis=1)
+    k2 = skeys.reshape(G * R, _LANE)
+    v2 = order.reshape(G * R, _LANE)
+    leads = skeys[:, ::_LANE]
+    feats_flat = jnp.where(src_valid[..., None], src_feats, 0.0).astype(
+        compute_dtype).reshape(G * M, Cin)
+    cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R)[:, None]
+    cls_feat0 = (jnp.arange(G, dtype=jnp.int32) * M)[:, None]
+    offs = jnp.asarray(offsets, jnp.int32)
+    wc = w.astype(compute_dtype)
+
+    def step(acc, xs):
+        off, w_k = xs
+        q = tgt_coords + off[None, None, :]
+        div_ok = jnp.all(q % src_stride == 0, axis=-1)
+        qk = pack_coords(jnp.floor_divide(q, src_stride),
+                         tgt_valid & div_ok)                  # [G, N]
+        ge = qk[..., None] >= leads[:, None, :]
+        r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
+        rows_k = jnp.take(k2, (r + cls_row0).reshape(-1), axis=0)
+        rows_v = jnp.take(v2, (r + cls_row0).reshape(-1), axis=0)
+        qf = qk.reshape(-1)
+        eq = rows_k == qf[:, None]
+        hit = jnp.any(eq, axis=1) & (qf != INVALID_KEY)
+        row = jnp.sum(jnp.where(eq, rows_v, 0), axis=1).reshape(G, N)
+        g = jnp.take(feats_flat, (row + cls_feat0).reshape(-1), axis=0)
+        g = jnp.where(hit[:, None], g, 0).reshape(G, N, Cin)
+        acc = acc + jnp.einsum("gnc,gco->gno", g, w_k,
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((G, N, cout), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, (offs, jnp.swapaxes(wc, 0, 1)))
+    return jnp.where(tgt_valid[..., None], out, 0.0)
+
+
 def subm_conv(src: SparseTensor, w: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,
               kernel_size: int = 3) -> SparseTensor:

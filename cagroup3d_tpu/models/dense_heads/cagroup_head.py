@@ -25,7 +25,8 @@ from ...core.module import (Ctx, Params, init_bn, init_conv, me_default_conv,
                             normal_conv)
 from ...core.norm import elu, masked_batch_norm
 from ...core.sparse import SparseTensor
-from ...core.sparse_conv import scan_conv, scan_conv_grouped
+from ...core.sparse_conv import (scan_conv, scan_conv_at_classes,
+                                 scan_conv_grouped, scan_conv_grouped_classes)
 from ...core.voxelize import voxelize_points
 from ...core import nms as nms_mod
 from ..layers import act, bn, subm
@@ -220,33 +221,29 @@ class CAGroup3DHead:
         # fine: stacked SparseTensor pieces [n_cls, FINE_CAP, ...] on the
         # per-class lattice (stride 1); coarse on the x{expand} lattice.
 
-        # per-class k9 conv on the fine map (grouped z-run lookup)
-        f_out = jax.vmap(
-            lambda co, va, fe, w: scan_conv_grouped(
-                co, va, fe, 1, co, va, self.cls_kernel, w)
-        )(fine.coords, fine.valid, fine.feats,
-          P[pre + ".cls_individual_out.0.kernel"])
+        # per-class k9 conv on the fine map (grouped z-run lookup; class
+        # axis flattened out of all gathers)
+        f_out = scan_conv_grouped_classes(
+            fine.coords, fine.valid, fine.feats, 1, self.cls_kernel,
+            P[pre + ".cls_individual_out.0.kernel"])
         f_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_out.1", f_out,
                             fine.valid)
         f_out = jnp.where(fine.valid[..., None], elu(f_out), 0.0)
 
         # expanded map: k5 on the coarse lattice (its own units)
-        e_out = jax.vmap(
-            lambda co, va, fe, w: scan_conv_grouped(
-                co, va, fe, 1, co, va, 5, w)
-        )(coarse.coords, coarse.valid, coarse.feats,
-          P[pre + ".cls_individual_expand_out.0.kernel"])
+        e_out = scan_conv_grouped_classes(
+            coarse.coords, coarse.valid, coarse.feats, 1, 5,
+            P[pre + ".cls_individual_expand_out.0.kernel"])
         e_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_expand_out.1",
                             e_out, coarse.valid)
         e_out = jnp.where(coarse.valid[..., None], elu(e_out), 0.0)
 
         # generative transpose k3 s3 decoded at the fine coords
         k_up = transpose_offsets(3, 1)
-        up_out = jax.vmap(
-            lambda cc, cv, cf, fc, fv, w: scan_conv(
-                cc * self.expand, cv, cf, self.expand, fc, fv, k_up, w)
-        )(coarse.coords, coarse.valid, e_out, fine.coords, fine.valid,
-          P[pre + ".cls_individual_up.0.kernel"])
+        up_out = scan_conv_at_classes(
+            coarse.coords * self.expand, coarse.valid, e_out, self.expand,
+            fine.coords, fine.valid, k_up,
+            P[pre + ".cls_individual_up.0.kernel"])
         up_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_up.1.0",
                              up_out, fine.valid)
         up_out = jnp.where(fine.valid[..., None], elu(up_out), 0.0)

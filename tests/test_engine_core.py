@@ -180,6 +180,32 @@ class TestGroupedLookup:
         got = np.asarray(neighbor_table_grouped(st, jnp.asarray(tgt), tv, k))
         np.testing.assert_array_equal(got, ref)
 
+    def test_scan_conv_grouped_classes_matches_oracle(self, rng):
+        from cagroup3d_tpu.core.sparse_conv import scan_conv_grouped_classes
+        G, N, C = 3, 128, 4
+        coords = np.full((G, N, 3), 1 << 20, np.int32)
+        valid = np.zeros((G, N), bool)
+        feats = np.zeros((G, N, C), np.float32)
+        per_cls = []
+        for g in range(G):
+            c = np.unique(rng.randint(0, 10, (200, 3)).astype(np.int32),
+                          axis=0)[: 64 + g * 10]
+            f = rng.randn(len(c), C).astype(np.float32)
+            coords[g, :len(c)] = c
+            valid[g, :len(c)] = True
+            feats[g, :len(c)] = f
+            per_cls.append((c, f))
+        w = rng.randn(G, 27, C, 5).astype(np.float32) * 0.1
+        out = np.asarray(scan_conv_grouped_classes(
+            jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(feats), 1,
+            3, jnp.asarray(w), compute_dtype=jnp.float32))
+        for g in range(G):
+            c, f = per_cls[g]
+            exp = naive_conv(c, f, c, w[g], kernel_offsets(3))
+            np.testing.assert_allclose(out[g, :len(c)], exp, rtol=1e-4,
+                                       atol=1e-4)
+        assert (out[~valid] == 0).all()
+
     def test_scan_conv_grouped_matches_oracle(self, rng):
         from cagroup3d_tpu.core.sparse_conv import scan_conv_grouped
         st, coords, feats = random_sparse(rng, 60, 8)
