@@ -29,8 +29,11 @@ def main():
     from __graft_entry__ import _build_model
     from cagroup3d_tpu.utils.synthetic import synthetic_batch
 
+    # FINE_CAP 4096: per-class fine maps at 0.08-0.28 m voxels hold a few
+    # thousand voxels even for scene-wide selections; the cap bounds the
+    # head's (static-shape) per-class work.
     input_cap = int(os.environ.get("BENCH_INPUT_CAP", 65536))
-    fine_cap = int(os.environ.get("BENCH_FINE_CAP", 8192))
+    fine_cap = int(os.environ.get("BENCH_FINE_CAP", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     model = _build_model(tiny=False, input_cap=input_cap, fine_cap=fine_cap)

@@ -71,6 +71,56 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
     return st, uid
 
 
+def unique_voxels_classes(lat: jnp.ndarray, feats: jnp.ndarray,
+                          valid: jnp.ndarray, cap: int, mode: str = "mean"):
+    """Class-batched unique_voxels with the class axis flattened out of
+    every scatter/gather (batched scatters scalarize on TPU).
+
+    lat i32[G, P, 3], feats [G, P, F], valid [G, P] ->
+    (coords [G, cap, 3], feats [G, cap, F], valid [G, cap]).
+    """
+    G, P, _ = lat.shape
+    F = feats.shape[-1]
+    keys = pack_coords(lat, valid)                       # [G, P]
+    order = jnp.argsort(keys, axis=1).astype(jnp.int32)  # batched sort is ok
+    sk = jnp.take_along_axis(keys, order, axis=1)
+    head = jnp.concatenate([jnp.ones((G, 1), bool), sk[:, 1:] != sk[:, :-1]],
+                           axis=1)
+    uid_sorted = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
+    ok_sorted = (sk != INVALID_KEY) & (uid_sorted < cap)
+
+    cls0 = (jnp.arange(G, dtype=jnp.int32) * (cap + 1))[:, None]
+    slot = jnp.where(head & ok_sorted, uid_sorted, cap) + cls0   # [G, P]
+    lat_sorted = jnp.take_along_axis(lat, order[..., None], axis=1)
+    out_coords = (jnp.full((G * (cap + 1), 3), PAD_COORD, jnp.int32)
+                  .at[slot.reshape(-1)].set(lat_sorted.reshape(-1, 3)))
+    out_coords = out_coords.reshape(G, cap + 1, 3)[:, :cap]
+
+    clsP = (jnp.arange(G, dtype=jnp.int32) * P)[:, None]
+    uid = jnp.zeros((G * P,), jnp.int32).at[
+        (order + clsP).reshape(-1)].set(
+            jnp.where(ok_sorted, uid_sorted, -1).reshape(-1)).reshape(G, P)
+    seg = jnp.where(uid >= 0, uid, cap) + cls0
+    cnt = jnp.zeros((G * (cap + 1),), jnp.int32).at[seg.reshape(-1)].add(
+        1).reshape(G, cap + 1)[:, :cap]
+    if mode == "mean":
+        ssum = jnp.zeros((G * (cap + 1), F), feats.dtype).at[
+            seg.reshape(-1)].add(
+                jnp.where(valid[..., None], feats, 0.0).reshape(-1, F))
+        out_feats = ssum.reshape(G, cap + 1, F)[:, :cap] / \
+            jnp.maximum(cnt, 1)[..., None]
+    elif mode == "first":
+        out_feats = jnp.zeros((G * (cap + 1), F), feats.dtype).at[
+            slot.reshape(-1)].set(
+                jnp.take_along_axis(feats, order[..., None], axis=1)
+                .reshape(-1, F)).reshape(G, cap + 1, F)[:, :cap]
+    else:
+        raise ValueError(mode)
+    out_valid = cnt > 0
+    out_feats = jnp.where(out_valid[..., None], out_feats, 0.0)
+    return out_coords, out_feats, out_valid
+
+
 def voxelize_points(points: jnp.ndarray, feats: jnp.ndarray,
                     valid: jnp.ndarray, voxel_size, cap: int,
                     mode: str = "mean") -> Tuple[SparseTensor, jnp.ndarray]:

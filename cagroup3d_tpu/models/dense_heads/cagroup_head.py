@@ -209,17 +209,23 @@ class CAGroup3DHead:
 
         vox_sizes = jnp.asarray(self.voxel_size_list, jnp.float32)
 
-        def build_maps(cls_valid, vsize):
-            fine, _ = voxelize_points(pts_all, feats_all, cls_valid, vsize,
-                                      self.fine_cap, mode="mean")
-            coarse, _ = voxelize_points(pts_all, feats_all, cls_valid,
-                                        vsize * self.expand, self.expand_cap,
-                                        mode="mean")
-            return fine, coarse
-
-        fine, coarse = jax.vmap(build_maps, in_axes=(1, 0))(sel_all, vox_sizes)
-        # fine: stacked SparseTensor pieces [n_cls, FINE_CAP, ...] on the
-        # per-class lattice (stride 1); coarse on the x{expand} lattice.
+        # class-batched re-voxelization with flattened scatters
+        from ...core.voxelize import unique_voxels_classes
+        sel_t = jnp.swapaxes(sel_all, 0, 1)                  # [n_cls, 2N]
+        feats_b = jnp.broadcast_to(feats_all[None],
+                                   (n_cls,) + feats_all.shape)
+        lat_f = jnp.floor(pts_all[None] /
+                          vox_sizes[:, None, :]).astype(jnp.int32)
+        fc, ff, fv = unique_voxels_classes(lat_f, feats_b, sel_t,
+                                           self.fine_cap, mode="mean")
+        fine = SparseTensor(fc, ff, fv, 1)
+        lat_c = jnp.floor(pts_all[None] / (vox_sizes[:, None, :] *
+                                           self.expand)).astype(jnp.int32)
+        cc, cf, cv = unique_voxels_classes(lat_c, feats_b, sel_t,
+                                           self.expand_cap, mode="mean")
+        coarse = SparseTensor(cc, cf, cv, 1)
+        # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice
+        # (stride 1); coarse on the x{expand} lattice.
 
         # per-class k9 conv on the fine map (grouped z-run lookup; class
         # axis flattened out of all gathers)
