@@ -50,20 +50,23 @@ def main():
     # (block_until_ready alone does not reliably block through remote
     # TPU tunnels).
     @jax.jit
-    def step(carry):
-        pts = batch["points"] + carry * 1e-12
+    def step(carry, P, S, points, points_valid):
+        # params/inputs must be jit ARGUMENTS: closed-over arrays become
+        # HLO literals and blow up the (remote) compile request
+        pts = points + carry * 1e-12
         out = model.forward_eval(
-            P, S, dict(points=pts, points_valid=batch["points_valid"]),
+            P, S, dict(points=pts, points_valid=points_valid),
             cur_epoch=10)
         return jnp.sum(out["pred_scores"])
 
+    args = (P, S, batch["points"], batch["points_valid"])
     t0 = time.time()
-    _ = float(step(jnp.float32(0.0)))
+    _ = float(step(jnp.float32(0.0), *args))
     compile_s = time.time() - t0
     t0 = time.time()
     c = jnp.float32(0.0)
     for _ in range(iters):
-        c = step(c)
+        c = step(c, *args)
     _ = float(c)  # waits for the whole dependent chain
     dt = (time.time() - t0) / iters
     scenes_per_sec = 1.0 / dt
