@@ -146,6 +146,18 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
     return jnp.where(tgt_valid[:, None], out, 0.0)
 
 
+def _chunk_table(skeys, svals):
+    """Interleaved lookup table: each physical 128-lane row holds a
+    64-key sorted chunk and its 64 values ([keys | values]), so one row
+    gather fetches both.  skeys/svals [G, N] -> (T [G*R2, 128],
+    leads [G, R2]) with R2 = N // 64."""
+    G, N = skeys.shape
+    R2 = N // 64
+    k64 = skeys.reshape(G * R2, 64)
+    v64 = svals.reshape(G * R2, 64)
+    return jnp.concatenate([k64, v64], axis=1), skeys[:, ::64]
+
+
 def scan_conv_grouped_classes(coords, valid, feats, stride: int,
                               kernel_size: int, w,
                               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -170,20 +182,18 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
     h = k // 2
     cout = w.shape[-1]
     assert N % _LANE == 0, "per-class capacity must be a multiple of 128"
-    R = N // _LANE
+    R2 = N // 64
 
-    # per-class sorted tables, flattened to [G*R, 128]
+    # per-class sorted tables in interleaved [keys|values] 128-lane rows
     keys = pack_coords(jnp.floor_divide(coords, stride), valid)   # [G, N]
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)
     skeys = jnp.take_along_axis(keys, order, axis=1)
-    k2 = skeys.reshape(G * R, _LANE)
-    v2 = order.reshape(G * R, _LANE)          # row ids within class
-    leads = skeys[:, ::_LANE]                 # [G, R]
+    T, leads = _chunk_table(skeys, order)
 
     feats_flat = jnp.where(valid[..., None], feats, 0.0).astype(
         compute_dtype).reshape(G * N, Cin)
     base = jnp.floor_divide(coords, stride)
-    cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R)[:, None, None]
+    cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R2)[:, None, None]
     cls_feat0 = (jnp.arange(G, dtype=jnp.int32) * N)[:, None, None]
     zd = base[..., 2] + _MARGIN               # [G, N]
     wr = w.astype(compute_dtype).reshape(G, k, k, k, Cin, cout)
@@ -196,23 +206,24 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
         bl = base[:, None, :, :] + dyo[None, :, None, :]
         qk = pack_coords(bl, jnp.broadcast_to(valid[:, None, :],
                                               (G, k, N)))     # [G, k, N]
-        # stage A: row within class, then flat row id
-        ge = qk[..., None] >= leads[:, None, None, :]          # [G,k,N,R]
-        r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
-        rows = jnp.take(k2, (r + cls_row0).reshape(-1), axis=0)
-        rows = rows.reshape(G, k, N, _LANE)
-        cnt = jnp.sum((rows <= qk[..., None]).astype(jnp.int32), axis=-1)
-        pos = r * _LANE + cnt - 1                              # [G, k, N]
-        r0 = jnp.clip((pos - h) >> 7, 0, R - 1)
-        r1 = jnp.clip(r0 + 1, 0, R - 1)
-        k_lo = jnp.take(k2, (r0 + cls_row0).reshape(-1), axis=0)
-        k_hi = jnp.take(k2, (r1 + cls_row0).reshape(-1), axis=0)
-        k_hi = jnp.where((r1 > r0).reshape(-1)[:, None], k_hi, INVALID_KEY)
-        wk = jnp.concatenate([k_lo, k_hi], axis=1)             # [GkN, 256]
-        v_lo = jnp.take(v2, (r0 + cls_row0).reshape(-1), axis=0)
-        v_hi = jnp.take(v2, (r1 + cls_row0).reshape(-1), axis=0)
-        wv = jnp.concatenate([v_lo, v_hi], axis=1)
+        # stage A: 64-chunk within class by lead counting
+        ge = qk[..., None] >= leads[:, None, None, :]          # [G,k,N,R2]
+        c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R2 - 1)
+        row0 = jnp.take(T, (c + cls_row0).reshape(-1), axis=0)  # [Q, 128]
+        k0, v0 = row0[:, :64], row0[:, 64:]
         qkf = qk.reshape(-1)
+        cf = (c + cls_row0).reshape(-1)
+        cnt = jnp.sum((k0 <= qkf[:, None]).astype(jnp.int32), axis=1)
+        # adjacent chunk on the side the +-h window can spill to
+        low_side = cnt <= 32
+        cl = c.reshape(-1)
+        adj = jnp.where(low_side, cl - 1, cl + 1)
+        adj = jnp.clip(adj, 0, R2 - 1)
+        dup = adj == cl
+        row1 = jnp.take(T, (adj + (cf - cl)).reshape(-1), axis=0)
+        k1 = jnp.where(dup[:, None], INVALID_KEY, row1[:, :64])
+        wk = jnp.concatenate([k0, k1], axis=1)                 # [Q, 128]
+        wv = jnp.concatenate([v0, row1[:, 64:]], axis=1)
         zdf = jnp.broadcast_to(zd[:, None, :], (G, k, N)).reshape(-1)
 
         wslice = jax.lax.dynamic_index_in_dim(
@@ -257,17 +268,15 @@ def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
     K = offsets.shape[0]
     cout = w.shape[-1]
     assert M % _LANE == 0
-    R = M // _LANE
+    R2 = M // 64
 
     keys = pack_coords(jnp.floor_divide(src_coords, src_stride), src_valid)
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)
     skeys = jnp.take_along_axis(keys, order, axis=1)
-    k2 = skeys.reshape(G * R, _LANE)
-    v2 = order.reshape(G * R, _LANE)
-    leads = skeys[:, ::_LANE]
+    T, leads = _chunk_table(skeys, order)
     feats_flat = jnp.where(src_valid[..., None], src_feats, 0.0).astype(
         compute_dtype).reshape(G * M, Cin)
-    cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R)[:, None]
+    cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R2)[:, None]
     cls_feat0 = (jnp.arange(G, dtype=jnp.int32) * M)[:, None]
     offs = jnp.asarray(offsets, jnp.int32)
     wc = w.astype(compute_dtype)
@@ -278,10 +287,11 @@ def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
         div_ok = jnp.all(q % src_stride == 0, axis=-1)
         qk = pack_coords(jnp.floor_divide(q, src_stride),
                          tgt_valid & div_ok)                  # [G, N]
+        # exact match lives in its lead chunk: one combined-row fetch
         ge = qk[..., None] >= leads[:, None, :]
-        r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
-        rows_k = jnp.take(k2, (r + cls_row0).reshape(-1), axis=0)
-        rows_v = jnp.take(v2, (r + cls_row0).reshape(-1), axis=0)
+        c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R2 - 1)
+        row = jnp.take(T, (c + cls_row0).reshape(-1), axis=0)  # [Q, 128]
+        rows_k, rows_v = row[:, :64], row[:, 64:]
         qf = qk.reshape(-1)
         eq = rows_k == qf[:, None]
         hit = jnp.any(eq, axis=1) & (qf != INVALID_KEY)

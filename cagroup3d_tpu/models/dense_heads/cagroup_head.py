@@ -96,8 +96,10 @@ class CAGroup3DHead:
         self.voxel_size_list = np.clip(np.array(vox) / 2.0, 0.04, 1.0)
         self.gt_per_seed = 3
         # static capacities
-        self.fine_cap = int(c.get("FINE_CAP", 8192))
+        self.fine_cap = int(c.get("FINE_CAP", 4096))
         self.expand_cap = int(c.get("EXPAND_CAP", 2048))
+        assert self.fine_cap % 128 == 0 and self.expand_cap % 128 == 0, \
+            "FINE_CAP/EXPAND_CAP must be multiples of 128 (lane-row tables)"
         self.max_rois = int(c.get("MAX_ROIS", 256))
         self.nms_per_cls_cap = int(c.get("NMS_PER_CLS_CAP", 256))
 
