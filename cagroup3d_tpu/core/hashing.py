@@ -115,20 +115,6 @@ def lower_bound_pos(sorted_keys: jnp.ndarray, qk: jnp.ndarray) -> jnp.ndarray:
     return r * _LANE + cnt - 1
 
 
-def window_slices(arr: jnp.ndarray, starts: jnp.ndarray, width: int
-                  ) -> jnp.ndarray:
-    """Contiguous [width]-slices of a 1-D array at per-query starts
-    (efficient TPU slice-gather, unlike per-element gathers)."""
-    N = arr.shape[0]
-    starts = jnp.clip(starts, 0, N - width)
-    return jax.lax.gather(
-        arr, starts[:, None],
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(),
-            start_index_map=(0,)),
-        slice_sizes=(width,), mode=jax.lax.GatherScatterMode.CLIP)
-
-
 def lookup_z_window(sorted_keys, row_of_rank, base_lat, base_valid,
                     dz_list, window: int = 16):
     """Lookup a run of z-offset neighbors with ONE position search.

@@ -20,14 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from ...core.hashing import build_index, lookup
-from ...core.kernel_maps import conv_offsets, transpose_offsets
+from ...core.kernel_maps import transpose_offsets
 from ...core.module import (Ctx, Params, init_bn, init_conv, me_default_conv,
                             normal_conv)
 from ...core.norm import elu, masked_batch_norm
 from ...core.sparse import SparseTensor
-from ...core.sparse_conv import (scan_conv, scan_conv_at_classes,
-                                 scan_conv_grouped, scan_conv_grouped_classes)
-from ...core.voxelize import voxelize_points
+from ...core.sparse_conv import (scan_conv_at_classes,
+                                 scan_conv_grouped_classes)
 from ...core import nms as nms_mod
 from ..layers import act, bn, subm
 from ..model_utils.cagroup_utils import bias_init_with_prob

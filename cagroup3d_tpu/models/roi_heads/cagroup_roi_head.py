@@ -19,12 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from ...core.geometry import rotate_points_along_z
-from ...core.kernel_maps import conv_offsets
 from ...core.module import (Ctx, Params, apply_bn, apply_linear, dropout,
                             init_bn, init_conv, init_linear)
 from ...core.norm import elu, relu
 from ...core.sparse import SparseTensor
-from ...core.sparse_conv import scan_conv, scan_conv_grouped
+from ...core.sparse_conv import scan_conv_grouped
 from ...core.voxelize import unique_voxels
 from ...core import nms as nms_mod
 from ..model_utils.cagroup_utils import CAGroupResidualCoder
