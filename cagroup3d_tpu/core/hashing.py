@@ -128,33 +128,31 @@ def lookup_z_window(sorted_keys, row_of_rank, base_lat, base_valid,
     Returns nbr i32[len(dz_list), Q].
     """
     N0 = sorted_keys.shape[0]
-    if N0 % _LANE != 0:  # pad table to a whole number of 128-lanes
-        pad = _LANE - N0 % _LANE
+    if N0 % 64 != 0:  # pad table to whole 64-key chunks
+        pad = 64 - N0 % 64
         sorted_keys = jnp.pad(sorted_keys, (0, pad),
                               constant_values=int(INVALID_KEY))
         row_of_rank = jnp.pad(row_of_rank, (0, pad))
     N = sorted_keys.shape[0]
-    R = N // _LANE
-    k2 = sorted_keys.reshape(R, _LANE)
-    v2 = row_of_rank.reshape(R, _LANE)
+    R2 = N // 64
+    # interleaved [keys|values] chunk table: one row fetch gets both
+    T = jnp.concatenate([sorted_keys.reshape(R2, 64),
+                         row_of_rank.reshape(R2, 64)], axis=1)
+    leads = sorted_keys[::64]
 
     qk = pack_coords(base_lat, base_valid)
     # base z digit (with margin) for per-dz range checks
     zd = base_lat[:, 2] + _MARGIN
-    d = max(max(abs(z) for z in dz_list), 1)
-    pos = lower_bound_pos(sorted_keys, jnp.where(qk == INVALID_KEY, 0, qk))
-    # fetch the two consecutive 128-lanes covering ranks [pos-d, pos+d]
-    # (128-row gathers are the fast TPU gather shape; generic slice
-    # gathers scalarize)
-    r0 = jnp.clip((pos - d) >> 7, 0, R - 1)
-    r1 = jnp.clip(r0 + 1, 0, R - 1)
-    k_hi = jnp.take(k2, r1, axis=0)
-    # mask the duplicate row at the table tail (r1 == r0) so unique keys
-    # cannot match twice
-    k_hi = jnp.where((r1 > r0)[:, None], k_hi, INVALID_KEY)
-    wk = jnp.concatenate([jnp.take(k2, r0, axis=0), k_hi], axis=1)  # [Q,256]
-    wv = jnp.concatenate([jnp.take(v2, r0, axis=0),
-                          jnp.take(v2, r1, axis=0)], axis=1)
+    ge = qk[:, None] >= leads[None, :]
+    c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R2 - 1)
+    row0 = jnp.take(T, c, axis=0)
+    k0, v0 = row0[:, :64], row0[:, 64:]
+    cnt = jnp.sum((k0 <= qk[:, None]).astype(jnp.int32), axis=1)
+    adj = jnp.clip(jnp.where(cnt <= 32, c - 1, c + 1), 0, R2 - 1)
+    row1 = jnp.take(T, adj, axis=0)
+    k1 = jnp.where((adj == c)[:, None], INVALID_KEY, row1[:, :64])
+    wk = jnp.concatenate([k0, k1], axis=1)                   # [Q, 128]
+    wv = jnp.concatenate([v0, row1[:, 64:]], axis=1)
     outs = []
     for dz in dz_list:
         tk = qk + dz

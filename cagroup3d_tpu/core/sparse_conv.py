@@ -94,21 +94,35 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
     """Fused grouped conv for odd kernels with stride-aligned targets.
 
     Scans over the K dx-planes; within a step the K dy-groups each do one
-    z-run window lookup (K^2 position searches total for K^3 offsets) and
-    one [N, K*Cin] x [K*Cin, Cout] MXU contraction.  Feature gathers run
-    in ``compute_dtype`` (bf16 halves the dominant gather traffic);
+    z-run window lookup against an interleaved [keys|values] chunk table
+    (two 128-lane row fetches answer all K dz offsets) and one
+    [N, K*Cin] x [K*Cin, Cout] MXU contraction.  Feature gathers run in
+    ``compute_dtype`` (bf16 halves the dominant gather traffic);
     accumulation stays f32.
     """
-    from .hashing import build_index, lookup_z_window
+    from .hashing import INVALID_KEY, _MARGIN, _EXTENT, pack_coords
 
     k = kernel_size
     assert k % 2 == 1
     h = k // 2
     s = src_stride
-    sorted_keys, row_of_rank = build_index(
-        jnp.floor_divide(src_coords, s), src_valid)
+    M0 = src_coords.shape[0]
+    pad = (-M0) % 64
+    keys = pack_coords(jnp.floor_divide(src_coords, s), src_valid)
+    if pad:
+        keys = jnp.pad(keys, (0, pad), constant_values=int(INVALID_KEY))
+    M = keys.shape[0]
+    R2 = M // 64
+    order = jnp.argsort(keys).astype(jnp.int32)
+    skeys = keys[order]
+    T, leads = _chunk_table(skeys[None], order[None])
+    leads = leads[0]
+
     feats = jnp.where(src_valid[:, None], src_feats, 0.0).astype(compute_dtype)
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
     base = jnp.floor_divide(tgt_coords, s)
+    zd0 = base[:, 2] + _MARGIN
     N = tgt_coords.shape[0]
     cout = w.shape[-1]
     dz_list = list(range(-h, h + 1))
@@ -118,22 +132,40 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
         bl = base[None, :, :] + \
             jnp.stack([jnp.stack([dx, jnp.int32(dy), jnp.int32(0)])
                        for dy in range(-h, h + 1)])[:, None, :]
-        nbr = lookup_z_window(sorted_keys, row_of_rank,
-                              bl.reshape(k * N, 3),
-                              jnp.broadcast_to(tgt_valid, (k, N)).reshape(-1),
-                              dz_list)                  # [k(dz), k(dy)*N]
-        nbr = nbr.reshape(k, k, N)                      # [dz, dy, N]
-        # weight slice for this dx: [dy, dz, Cin, Cout]
+        qk = pack_coords(bl.reshape(k * N, 3),
+                         jnp.broadcast_to(tgt_valid, (k, N)).reshape(-1))
+        ge = qk[:, None] >= leads[None, :]
+        c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R2 - 1)
+        row0 = jnp.take(T, c, axis=0)                       # [kN, 128]
+        k0, v0 = row0[:, :64], row0[:, 64:]
+        cnt = jnp.sum((k0 <= qk[:, None]).astype(jnp.int32), axis=1)
+        adj = jnp.clip(jnp.where(cnt <= 32, c - 1, c + 1), 0, R2 - 1)
+        row1 = jnp.take(T, adj, axis=0)
+        k1 = jnp.where((adj == c)[:, None], INVALID_KEY, row1[:, :64])
+        wk = jnp.concatenate([k0, k1], axis=1)              # [kN, 128]
+        wv = jnp.concatenate([v0, row1[:, 64:]], axis=1)
+        zdf = jnp.broadcast_to(zd0[None, :], (k, N)).reshape(-1)
+
         wslice = jax.lax.dynamic_index_in_dim(wr, dx + h, axis=0,
                                               keepdims=False)
+        # resolve dz runs against the shared window
+        nbr = []
+        for dz in dz_list:
+            tk = qk + dz
+            ok = (qk != INVALID_KEY) & (zdf + dz >= 0) & (zdf + dz < _EXTENT)
+            eq = wk == tk[:, None]
+            hit = jnp.any(eq, axis=1) & ok
+            val = jnp.sum(jnp.where(eq, wv, 0), axis=1)
+            nbr.append(jnp.where(hit, val, -1))
+        nbr = jnp.stack(nbr).reshape(k, k, N)               # [dz, dy, N]
         for dy in range(k):
-            idx = nbr[:, dy, :]                          # [k(dz), N]
+            idx = nbr[:, dy, :]                              # [k(dz), N]
             g = jnp.take(feats, jnp.maximum(idx, 0).reshape(-1), axis=0)
             g = jnp.where((idx >= 0).reshape(-1)[:, None], g, 0)
-            g = g.reshape(k, N, -1)                      # [dz, N, Cin]
+            g = g.reshape(k, N, -1)                          # [dz, N, Cin]
             acc = acc + jax.lax.dot_general(
-                jnp.swapaxes(g, 0, 1).reshape(N, -1),     # [N, k*Cin]
-                wslice[dy].reshape(-1, cout),             # [k*Cin, Cout]
+                jnp.swapaxes(g, 0, 1).reshape(N, -1),        # [N, k*Cin]
+                wslice[dy].reshape(-1, cout),                # [k*Cin, Cout]
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         return acc, None
