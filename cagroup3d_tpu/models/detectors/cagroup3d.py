@@ -71,9 +71,9 @@ class CAGroup3D(Detector3DTemplate):
         return st, origin, xyz - origin[None, :]
 
     def _forward_scene(self, P: Params, train: bool, S: Params, points,
-                       pvalid, sem_thr, rng):
+                       pvalid, sem_thr, rng, axis_name="scene"):
         """Single scene forward up to one-stage proposals."""
-        ctx = Ctx(train=train, axis_name="scene", rng=rng)
+        ctx = Ctx(train=train, axis_name=axis_name, rng=rng)
         st, origin, pts_norm = self._voxelize_scene(points, pvalid)
         feat = self.backbone_3d(P, S, ctx, st)
         head_out = self.dense_head.forward(P, S, ctx, feat, sem_thr)
@@ -134,9 +134,10 @@ class CAGroup3D(Detector3DTemplate):
         B = batch["points"].shape[0]
         rngs = jax.random.split(jax.random.PRNGKey(0), B)
 
-        def scene(points, pvalid, r):
+        def scene(points, pvalid, r, axis_name="scene"):
             ctx, st, origin, pts_norm, feat, head_out, props = \
-                self._forward_scene(P, False, S, points, pvalid, sem_thr, r)
+                self._forward_scene(P, False, S, points, pvalid, sem_thr, r,
+                                    axis_name=axis_name)
             rois, roi_scores, roi_labels, roi_valid = props
             out = self.roi_head.forward_test(
                 P, S, ctx, feat, rois, roi_scores,
@@ -147,5 +148,11 @@ class CAGroup3D(Detector3DTemplate):
                         pred_labels=out["batch_cls_preds"],
                         pred_valid=out["batch_pred_valid"])
 
+        if B == 1:
+            # batch-1 eval (the reference's eval protocol): skip the scene
+            # vmap — batched-by-1 gathers scalarize on TPU
+            out = scene(batch["points"][0], batch["points_valid"][0],
+                        rngs[0], axis_name=None)
+            return {k: v[None] for k, v in out.items()}
         return jax.vmap(scene, axis_name="scene")(
             batch["points"], batch["points_valid"], rngs)
