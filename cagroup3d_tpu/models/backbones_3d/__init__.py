@@ -1,5 +1,8 @@
 from .biresnet import BiResNet
+from .pointnet2_fbs_backbone import PointNet2FBSBackbone
 
 __all__ = {
     "BiResNet": BiResNet,
+    "PointNet2_FBS_SSG": PointNet2FBSBackbone,
+    "PointNet2FBSBackbone": PointNet2FBSBackbone,
 }
