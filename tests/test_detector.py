@@ -141,6 +141,29 @@ def test_open_semantic_gate_produces_positives(rng):
     assert float(tb["loss_cls"]) > 0, tb
 
 
+def test_eval_batch1_matches_vmapped_path(rng):
+    """forward_eval's no-vmap batch-1 fast path must equal the vmapped
+    path (duplicate the scene into a batch of 2 and compare)."""
+    cfg = tiny_cfg()
+    model = build_network(cfg, num_class=4)
+    P, S = model.init(jax.random.PRNGKey(0))
+    # open the gate a bit so predictions are non-trivial
+    P["dense_head.cls_conv.bias"] = P["dense_head.cls_conv.bias"] * 0 + 1.0
+    b1 = synthetic_batch(rng, B=1)
+    b2 = {k: np.repeat(np.asarray(v), 2, axis=0) for k, v in b1.items()}
+    b2 = {k: jnp.asarray(v) for k, v in b2.items()}
+    out1 = model.forward_eval(P, S, b1, cur_epoch=10)
+    out2 = model.forward_eval(P, S, b2, cur_epoch=10)
+    np.testing.assert_allclose(np.asarray(out1["pred_boxes"][0]),
+                               np.asarray(out2["pred_boxes"][0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out1["pred_valid"][0]),
+                                  np.asarray(out2["pred_valid"][0]))
+    np.testing.assert_allclose(np.asarray(out1["pred_scores"][0]),
+                               np.asarray(out2["pred_scores"][0]),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_eval_forward(rng):
     cfg = tiny_cfg()
     model = build_network(cfg, num_class=4)
