@@ -28,10 +28,12 @@ def synthetic_scene(rng: np.random.RandomState, n_points=100_000,
     per = n_obj // n_objects
     obj_pts = []
     for i in range(n_objects):
-        # surface-ish sampling: points near the box faces
-        u = rng.rand(per, 3) - 0.5
+        # surface-ish sampling: points near the box faces, strictly
+        # inside the GT box (points exactly on the face fail the
+        # inside-box test and starve the assigner of positives)
+        u = (rng.rand(per, 3) - 0.5) * 0.9
         face = rng.randint(0, 3, per)
-        sign = rng.choice([-0.5, 0.5], per)
+        sign = rng.choice([-0.45, 0.45], per)
         u[np.arange(per), face] = sign
         obj_pts.append(centers[i] + u * sizes[i])
     obj = np.concatenate(obj_pts)[: n_obj]
