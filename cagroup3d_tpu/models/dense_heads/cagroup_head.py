@@ -228,19 +228,28 @@ class CAGroup3DHead:
         # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice
         # (stride 1); coarse on the x{expand} lattice.
 
-        # per-class k9 conv on the fine map (grouped z-run lookup; class
-        # axis flattened out of all gathers)
-        f_out = scan_conv_grouped_classes(
-            fine.coords, fine.valid, fine.feats, 1, self.cls_kernel,
-            P[pre + ".cls_individual_out.0.kernel"])
+        # per-class k9/k5 convs: MXU-fused Pallas kernel on TPU (one-hot
+        # slab matmuls over the VMEM-resident sorted table, ops/
+        # pallas_conv.py); XLA grouped z-run gathers elsewhere.  The
+        # unique_voxels_classes output is key-sorted, which the MXU
+        # kernel requires.
+        def _cls_conv(st_cls, kernel_size, w):
+            if jax.default_backend() == "tpu" and st_cls.coords.shape[1] >= 256:
+                from ...ops.pallas_conv import subm_conv_classes_mxu
+                return subm_conv_classes_mxu(
+                    st_cls.coords, st_cls.valid, st_cls.feats, w, kernel_size)
+            return scan_conv_grouped_classes(
+                st_cls.coords, st_cls.valid, st_cls.feats, 1, kernel_size, w)
+
+        f_out = _cls_conv(fine, self.cls_kernel,
+                          P[pre + ".cls_individual_out.0.kernel"])
         f_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_out.1", f_out,
                             fine.valid)
         f_out = jnp.where(fine.valid[..., None], elu(f_out), 0.0)
 
         # expanded map: k5 on the coarse lattice (its own units)
-        e_out = scan_conv_grouped_classes(
-            coarse.coords, coarse.valid, coarse.feats, 1, 5,
-            P[pre + ".cls_individual_expand_out.0.kernel"])
+        e_out = _cls_conv(coarse, 5,
+                          P[pre + ".cls_individual_expand_out.0.kernel"])
         e_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_expand_out.1",
                             e_out, coarse.valid)
         e_out = jnp.where(coarse.valid[..., None], elu(e_out), 0.0)

@@ -1,0 +1,72 @@
+"""MXU-fused per-class conv (ops/pallas_conv.py) vs the XLA reference
+implementation, in Pallas interpret mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cagroup3d_tpu.core.voxelize import unique_voxels_classes
+from cagroup3d_tpu.core.sparse_conv import scan_conv_grouped_classes
+from cagroup3d_tpu.ops.pallas_conv import subm_conv_classes_mxu
+
+
+@pytest.fixture(scope="module")
+def case():
+    rs = np.random.RandomState(0)
+    G, P, C, CAP = 3, 600, 64, 256
+    lat = rs.randint(0, 14, (G, P, 3)).astype(np.int32)
+    feats = rs.randn(G, P, C).astype(np.float32)
+    valid = rs.rand(G, P) > 0.2
+    fc, ff, fv = unique_voxels_classes(
+        jnp.asarray(lat), jnp.asarray(feats), jnp.asarray(valid), CAP,
+        mode="mean")
+    w = jnp.asarray(rs.randn(G, 5 ** 3, C, C).astype(np.float32) * 0.1)
+    return fc, ff, fv, w
+
+
+def test_forward_matches_xla(case):
+    fc, ff, fv, w = case
+    ref = scan_conv_grouped_classes(fc, fv, ff, 1, 5, w)
+    out = subm_conv_classes_mxu(fc, fv, ff, w, 5)
+    r, o = np.asarray(ref), np.asarray(out)
+    err = np.abs(r - o).max() / (np.abs(r).max() + 1e-9)
+    assert err < 2e-2, err
+    # invalid rows must be exactly zero
+    assert (o[~np.asarray(fv)] == 0).all()
+
+
+def test_grads_match_xla(case):
+    fc, ff, fv, w = case
+
+    def loss_mxu(f, ww):
+        return jnp.sum(subm_conv_classes_mxu(fc, fv, f, ww, 5) ** 2)
+
+    def loss_ref(f, ww):
+        return jnp.sum(scan_conv_grouped_classes(fc, fv, f, 1, 5, ww) ** 2)
+
+    g1 = jax.grad(loss_mxu, argnums=(0, 1))(ff, w)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(ff, w)
+    for a, b in zip(g1, g2):
+        e = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-9)
+        assert e < 5e-2, e
+
+
+def test_sparse_occupancy_and_empty_class(case):
+    """Classes with very few (or zero) valid voxels must still be exact:
+    the rank-window while-loop and invalid-tail guards are the risk."""
+    rs = np.random.RandomState(1)
+    G, P, C, CAP = 2, 300, 64, 256
+    lat = rs.randint(0, 40, (G, P, 3)).astype(np.int32)  # sparse: few nbrs
+    feats = rs.randn(G, P, C).astype(np.float32)
+    valid = np.zeros((G, P), bool)
+    valid[0, :40] = True          # class 0: sparse; class 1: empty
+    fc, ff, fv = unique_voxels_classes(
+        jnp.asarray(lat), jnp.asarray(feats), jnp.asarray(valid), CAP,
+        mode="mean")
+    w = jnp.asarray(rs.randn(G, 27, C, C).astype(np.float32) * 0.1)
+    ref = scan_conv_grouped_classes(fc, fv, ff, 1, 3, w)
+    out = subm_conv_classes_mxu(fc, fv, ff, w, 3)
+    err = np.abs(np.asarray(ref) - np.asarray(out)).max() / \
+        (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert err < 2e-2, err
