@@ -93,7 +93,8 @@ def main():
         params, state = ck["params"], ck["state"]
 
     steps_per_epoch = max(len(train_loader), 1)
-    tx, schedule = build_optimizer(cfg.OPTIMIZATION, steps_per_epoch)
+    tx, schedule = build_optimizer(cfg.OPTIMIZATION, steps_per_epoch,
+                               total_epochs=epochs)
     opt_state = tx.init(params)
 
     params, state, opt_state, start_epoch, start_it = auto_resume(
