@@ -1,10 +1,17 @@
 """PointNet2 backbone with foreground-biased sampling (RBGNet).
 
-Rebuild of pcdet/models/backbones_3d/pointnet2_fbs_backbone.py
-(PointNet2_FBS_SSG): 4 set-abstraction levels whose sampling mixes FPS
-with top-k by a learned per-point foreground score (``_fbs_sample_points``
-:136), followed by feature-propagation levels; outputs per-level
-fp_xyz/fp_features and the foreground score maps for the sample loss.
+TPU-native rebuild of pcdet/models/backbones_3d/pointnet2_fbs_backbone.py
+(PointNet2_FBS_SSG): 4 set-abstraction levels; level 0 samples by plain
+FPS, levels 1+ mix foreground-biased sampling — a per-level 2-channel
+foreground MLP scores every point, the TOPK highest-margin points form the
+foreground set, FG_NSAMPLE centers are FPS'd from it and the rest from the
+complement (``_fbs_sample_points``, reference :136-210) — followed by
+feature-propagation levels.  Outputs the final fp level plus per-level
+foreground scores and index chains for the sample loss
+(rbg_head.py:436-463).
+
+Per-scene functional module; batch via vmap.  Static shapes: NPOINTS/TOPK/
+FG_NSAMPLE are static, invalid points are masked out of FPS/top-k.
 """
 from __future__ import annotations
 
@@ -14,49 +21,55 @@ import jax
 import jax.numpy as jnp
 
 from ...core import pointnet2 as pn2
-from ...core.module import Ctx, Params, apply_bn, init_bn, init_linear
+from ...core.module import Ctx, Params, init_bn, init_linear
 from .pointnet2_modules import FPModule, SAModule, apply_shared_mlp, \
     init_shared_mlp
 
 
 class PointNet2FBSBackbone:
-    def __init__(self, model_cfg, **kwargs):
+    """cfg surface mirrors the reference SA_CONFIG/FP_MLPS exactly."""
+
+    def __init__(self, model_cfg, input_channels: int = 6, **kwargs):
         c = model_cfg
-        sa = c.get("SA_CONFIG", {})
-        self.npoints: List[int] = list(sa.get("NPOINTS",
-                                              [2048, 1024, 512, 256]))
-        self.radii = list(sa.get("RADIUS", [0.2, 0.4, 0.8, 1.2]))
-        self.nsamples = list(sa.get("NSAMPLE", [64, 32, 16, 16]))
-        self.mlps = [list(m) for m in sa.get(
-            "MLPS", [[64, 64, 128], [128, 128, 256], [128, 128, 256],
-                     [128, 128, 256]])]
-        self.fp_mlps = [list(m) for m in c.get(
-            "FP_MLPS", [[256, 256], [256, 256]])]
-        self.fbs_ratio = float(c.get("FBS_RATIO", 0.5))
-        in_ch = int(c.get("IN_CHANNELS", 3))  # rgb features
-        self.in_channels = in_ch
+        sa = c.SA_CONFIG
+        self.npoints: List[int] = [int(x) for x in sa.NPOINTS]
+        self.radii = [float(x) for x in sa.RADIUS]
+        self.nsamples = [int(x) for x in sa.NSAMPLE]
+        self.mlps = [list(m) for m in sa.MLPS]
+        self.fbs_mlps_cfg = [list(m) for m in sa.get(
+            "FBS_MLPS", [[-1, -1]] * len(self.npoints))]
+        self.topk = [int(x) for x in sa.get("TOPK", [-1] * len(self.npoints))]
+        self.fg_nsample = [int(x) for x in sa.get(
+            "FG_NSAMPLE", [-1] * len(self.npoints))]
+        self.fp_mlps = [list(m) for m in c.get("FP_MLPS", [])]
+        # reference: features = points[:, 4:] (rgb); input_channels counts
+        # [bi, xyz, rgb] style columns minus bi/xyz
+        self.in_channels = int(c.get("IN_CHANNELS", 3))
 
         self.sa_modules = []
-        ch = in_ch
+        ch = self.in_channels
         self.sa_out = []
         for i in range(len(self.npoints)):
             self.sa_modules.append(SAModule(
                 self.npoints[i], self.radii[i], self.nsamples[i],
                 [ch] + self.mlps[i]))
+            self.sa_out.append(self.mlps[i][-1])
             ch = self.mlps[i][-1]
-            self.sa_out.append(ch)
         self.fp_modules = []
-        for i, m in enumerate(self.fp_mlps):
-            # fp level i fuses sa_out[-1-i] (coarse) into sa_out[-2-i]
-            cin = self.sa_out[-1 - i] + self.sa_out[-2 - i]
-            self.fp_modules.append(FPModule([cin] + m))
-        self.num_point_features = self.fp_mlps[-1][-1] if self.fp_mlps \
+        skip = [self.in_channels] + self.sa_out
+        src = skip[-1]
+        for k, m in enumerate(self.fp_mlps):
+            tgt = skip[-2 - k]
+            self.fp_modules.append(FPModule([src + tgt] + m))
+            src = m[-1]
+        self.num_point_features = self.fp_mlps[0][-1] if self.fp_mlps \
             else self.sa_out[-1]
 
+    # ------------------------------------------------------------------
     def init(self, rng, prefix: str = "backbone_3d") -> Tuple[Params, Params]:
         P: Params = {}
         S: Params = {}
-        rngs = jax.random.split(rng, len(self.sa_modules) * 2 +
+        rngs = jax.random.split(rng, 2 * len(self.sa_modules) +
                                 len(self.fp_modules))
         k = 0
         for i, m in enumerate(self.sa_modules):
@@ -64,13 +77,14 @@ class PointNet2FBSBackbone:
             P.update(p)
             S.update(s)
             k += 1
-            # foreground score MLP per level (sa_masks_score supervision)
-            cin = self.in_channels if i == 0 else self.sa_out[i - 1]
-            init_shared_mlp(P, S, rngs[k],
-                            f"{prefix}.fbs_mlps.{i}", [cin, max(cin, 16)])
-            init_linear(P, jax.random.fold_in(rngs[k], 1),
-                        f"{prefix}.fbs_mlps.{i}.out", max(cin, 16), 1,
-                        bias=True, init="uniform")
+            if self._fbs_use(i):
+                cin = self.sa_out[i - 1]
+                chans = [cin] + self.fbs_mlps_cfg[i]
+                path = f"{prefix}.SA_modules.{i}.fbs_mlps.0"
+                init_shared_mlp(P, S, rngs[k], path, chans)
+                init_linear(P, jax.random.fold_in(rngs[k], 7),
+                            f"{path}.{len(chans) - 1}", chans[-1], 2,
+                            bias=True, init="uniform")
             k += 1
         for i, m in enumerate(self.fp_modules):
             p, s = m.init(rngs[k], f"{prefix}.FP_modules.{i}")
@@ -79,40 +93,64 @@ class PointNet2FBSBackbone:
             k += 1
         return P, S
 
-    def _fbs_sample(self, P, S, ctx, path, xyz, feats, valid, npoint):
-        """Half the samples by FPS, half by top foreground score
-        (_fbs_sample_points semantics).  Returns (idx [npoint], score [N])."""
-        score_h = apply_shared_mlp(P, S, ctx, path,
-                                   feats if feats is not None else xyz,
-                                   valid, 1)
-        score = (score_h @ P[path + ".out.weight"] +
-                 P[path + ".out.bias"])[:, 0]
-        n_fg = int(npoint * self.fbs_ratio)
-        fg_idx = jax.lax.top_k(jnp.where(valid, score, -1e10), n_fg)[1]
-        fps_idx = pn2.farthest_point_sample(xyz, valid, npoint - n_fg)
-        return jnp.concatenate([fg_idx.astype(jnp.int32), fps_idx]), score
+    def _fbs_use(self, i: int) -> bool:
+        return i != 0 and self.topk[i] > 0
+
+    # ------------------------------------------------------------------
+    def _fbs_sample(self, P, S, ctx, path, xyz, feats, valid, level):
+        """2-channel foreground scores -> top-k margin mask -> FPS over the
+        foreground set (FG_NSAMPLE) + FPS over the complement (reference
+        _fbs_sample_points; FPS replaces its per-batch python loops).
+        Returns (idx i32[npoint], scores [N, 2])."""
+        chans = len(self.fbs_mlps_cfg[level])
+        h = apply_shared_mlp(P, S, ctx, path, feats, valid, chans)
+        scores = h @ P[f"{path}.{chans}.weight"] + P[f"{path}.{chans}.bias"]
+        sm = jax.nn.softmax(scores, axis=-1)
+        margin = jnp.where(valid, sm[:, 1] - sm[:, 0], -1e10)
+        topk = self.topk[level]
+        fg_n = self.fg_nsample[level]
+        npoint = self.npoints[level]
+        _, top_idx = jax.lax.top_k(margin, topk)
+        fg_mask = jnp.zeros(xyz.shape[0], bool).at[top_idx].set(True) & valid
+        fg_idx = pn2.farthest_point_sample(xyz, fg_mask, fg_n)
+        if npoint > fg_n:
+            bg_idx = pn2.farthest_point_sample(xyz, valid & ~fg_mask,
+                                               npoint - fg_n)
+            idx = jnp.concatenate([fg_idx, bg_idx])
+        else:
+            idx = fg_idx
+        return idx.astype(jnp.int32), scores
 
     def __call__(self, P, S, ctx: Ctx, xyz, feats, valid,
                  prefix: str = "backbone_3d"):
-        """xyz [N, 3], feats [N, C] (e.g. rgb) or None, valid [N].
-        Returns dict(fp_xyz, fp_features, fp_valid, sa_scores)."""
+        """xyz [N, 3], feats [N, C] (rgb) or None, valid [N].  Returns
+        dict(fp_xyz, fp_features, fp_valid, fp_indices, sa_scores [per
+        fbs level: ([Ni, 2], indices into original points)], points_cat)."""
         xs, fs, vs = [xyz], [feats], [valid]
-        scores = []
+        idxs = [jnp.arange(xyz.shape[0], dtype=jnp.int32)]
+        sa_scores = []   # (scores [N_i, 2], orig_indices [N_i]) per level
         for i, m in enumerate(self.sa_modules):
-            idx, score = self._fbs_sample(
-                P, S, ctx, f"{prefix}.fbs_mlps.{i}", xs[-1], fs[-1], vs[-1],
-                self.npoints[i])
-            scores.append(score)
+            if self._fbs_use(i):
+                idx, score = self._fbs_sample(
+                    P, S, ctx, f"{prefix}.SA_modules.{i}.fbs_mlps.0",
+                    xs[-1], fs[-1], vs[-1], i)
+                sa_scores.append((score, idxs[-1]))
+            else:
+                idx = pn2.farthest_point_sample(xs[-1], vs[-1],
+                                                self.npoints[i])
             nx, nf, nv, _ = m(P, S, ctx, f"{prefix}.SA_modules.{i}",
                               xs[-1], fs[-1], vs[-1], sample_idx=idx)
             xs.append(nx)
             fs.append(nf)
             vs.append(nv)
+            idxs.append(jnp.take(idxs[-1], idx))
         fp_x, fp_f, fp_v = xs[-1], fs[-1], vs[-1]
+        fp_i = idxs[-1]
         for i, m in enumerate(self.fp_modules):
             fine = -2 - i
             fp_f = m(P, S, ctx, f"{prefix}.FP_modules.{i}",
                      xs[fine], fs[fine], vs[fine], fp_x, fp_f, fp_v)
-            fp_x, fp_v = xs[fine], vs[fine]
+            fp_x, fp_v, fp_i = xs[fine], vs[fine], idxs[fine]
         return dict(fp_xyz=fp_x, fp_features=fp_f, fp_valid=fp_v,
-                    sa_scores=scores)
+                    fp_indices=fp_i, sa_scores=sa_scores,
+                    points_cat=xyz, points_valid=valid)

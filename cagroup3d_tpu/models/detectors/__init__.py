@@ -1,7 +1,9 @@
 from .cagroup3d import CAGroup3D
+from .rbgnet import RBGNet
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
+    "RBGNet": RBGNet,
 }
 
 

@@ -72,7 +72,7 @@ class Detector3DTemplate:
         if cfg is None:
             return None
         from ..dense_heads import __all__ as registry
-        return registry[cfg.NAME](cfg)
+        return registry[cfg.NAME](cfg, num_class=self.num_class)
 
     def build_roi_head(self):
         cfg = self._cfg("ROI_HEAD")

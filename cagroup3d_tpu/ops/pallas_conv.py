@@ -214,6 +214,10 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int):
             pltpu.VMEM((NB, _LANE), jnp.int32),
             pltpu.VMEM((NB, _LANE), jnp.int32),
         ],
+        # double-buffered blocks + the FW scratch can exceed the default
+        # 16M scoped-vmem budget when this kernel sits in a large graph
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(lohi, keys_col, keys_row, featsb, w2)
     return jnp.where(valid[..., None], out, 0.0)

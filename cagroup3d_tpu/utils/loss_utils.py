@@ -111,3 +111,41 @@ def iou3d_loss(pred7, target7, weight=None, avg_factor=None, with_yaw=True,
     if avg_factor is not None:
         return loss_weight * s / (avg_factor + jnp.finfo(jnp.float32).eps)
     return loss_weight * s / loss.size
+
+
+def cross_entropy_with_logits(logits, labels, class_weight=None):
+    """Per-element softmax CE (torch nn.CrossEntropyLoss reduction='none',
+    optionally with per-class weights, as used by RBGNet's objectness /
+    sample / intersection losses, rbg_head.py:88-95).
+
+    logits [..., K], labels i32[...]; returns [...]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    lab = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    if class_weight is not None:
+        w = jnp.asarray(class_weight)[lab]
+        nll = nll * w
+    return nll
+
+
+def axis_aligned_iou_corners(corners_a, corners_b):
+    """IoU of corner-format axis-aligned boxes [..., 6] (x1y1z1 x2y2z2)."""
+    lo = jnp.maximum(corners_a[..., :3], corners_b[..., :3])
+    hi = jnp.minimum(corners_a[..., 3:6], corners_b[..., 3:6])
+    whd = jnp.maximum(hi - lo, 0.0)
+    inter = whd[..., 0] * whd[..., 1] * whd[..., 2]
+    va = jnp.prod(jnp.maximum(corners_a[..., 3:6] - corners_a[..., :3], 0.0),
+                  axis=-1)
+    vb = jnp.prod(jnp.maximum(corners_b[..., 3:6] - corners_b[..., :3], 0.0),
+                  axis=-1)
+    return inter / jnp.maximum(va + vb - inter, 1e-9)
+
+
+def axis_aligned_iou_loss(corners_pred, corners_tgt, weight=None):
+    """AxisAlignedIoULoss (reduction='sum'): sum of weight * (1 - IoU)
+    over corner-format boxes (loss_utils.py AxisAlignedIoULoss, used at
+    rbg_head.py:452-459)."""
+    loss = 1.0 - axis_aligned_iou_corners(corners_pred, corners_tgt)
+    if weight is not None:
+        loss = loss * weight
+    return jnp.sum(loss)

@@ -38,7 +38,10 @@ def test_fbs_backbone_forward(rng):
         SA_CONFIG=dict(NPOINTS=[128, 64, 32, 16],
                        RADIUS=[0.2, 0.4, 0.8, 1.2],
                        NSAMPLE=[16, 16, 8, 8],
-                       MLPS=[[16, 16], [32, 32], [32, 32], [32, 32]]),
+                       MLPS=[[16, 16], [32, 32], [32, 32], [32, 32]],
+                       FBS_MLPS=[[-1, -1], [16, 16], [16, 16], [16, 16]],
+                       TOPK=[-1, 48, 24, 12],
+                       FG_NSAMPLE=[-1, 48, 24, 12]),
         FP_MLPS=[[32], [32]],
     ))
     net = PointNet2FBSBackbone(cfg)
@@ -51,7 +54,10 @@ def test_fbs_backbone_forward(rng):
     # fp output lands on the second SA level (npoints 64)
     assert out["fp_xyz"].shape == (64, 3)
     assert out["fp_features"].shape == (64, 32)
-    assert len(out["sa_scores"]) == 4
+    # levels 1..3 use foreground-biased sampling (level 0 is plain FPS)
+    assert len(out["sa_scores"]) == 3
+    for sc, sidx in out["sa_scores"]:
+        assert sc.shape[-1] == 2 and sidx.shape[0] == sc.shape[0]
     assert np.isfinite(np.asarray(out["fp_features"])).all()
     # grads flow to the fbs scoring mlp and SA mlps
     def loss(P):

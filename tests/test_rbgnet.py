@@ -1,0 +1,128 @@
+"""End-to-end RBGNet: tiny config, synthetic scenes, train loss + grads +
+eval predictions (reference pcdet/models/detectors/rbgnet.py +
+dense_heads/rbg_head.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cagroup3d_tpu.config import EasyDict
+from cagroup3d_tpu.models import build_network
+from tests.test_detector import synthetic_batch
+
+
+def tiny_rbg_cfg(n_classes=4, with_rot=False):
+    return EasyDict(dict(
+        NAME="RBGNet",
+        INS_CAP=16,
+        MAX_OUT=64,
+        BACKBONE_3D=dict(
+            NAME="PointNet2_FBS_SSG",
+            IN_CHANNELS=3,
+            SA_CONFIG=dict(
+                NPOINTS=[128, 64, 32, 16],
+                RADIUS=[0.2, 0.4, 0.8, 1.2],
+                NSAMPLE=[8, 8, 4, 4],
+                MLPS=[[16, 16, 32], [32, 32, 32], [32, 32, 32],
+                      [32, 32, 32]],
+                FBS_MLPS=[[-1, -1], [16, 16], [16, 16], [16, 16]],
+                TOPK=[-1, 48, 24, 12],
+                FG_NSAMPLE=[-1, 48, 24, 12]),
+            FP_MLPS=[[32, 32], [32, 32]],
+        ),
+        POINT_HEAD=dict(
+            NAME="RBGHead",
+            CLASS_AGNOSTIC=False,
+            NUM_CLASSES=n_classes,
+            VOTE_MODULE_CFG=dict(
+                IN_CHANNELS=32, VOTE_PER_SEED=1, GT_PER_SEED=3,
+                CONV_CHANNELS=[32, 32], NORM_FEATS=True,
+                VOTE_LOSS=dict(NAME="ChamferDistance", MODE="l1",
+                               LOSS_DST_WEIGHT=10.0)),
+            VOTE_AGGREGATION_CFG=dict(
+                NAME="PointnetSAModule", NUM_POINTS=16, RADIUS=0.3,
+                NUM_SAMPLE=4, MLP_CHANNELS=[32, 16, 16, 16], USE_XYZ=True),
+            PRED_LAYER_CFG=dict(IN_CHANNELS=16,
+                                SHARED_CONV_CHANNELS=[16, 16], BIAS=True),
+            FPS_NUM_SAMPLE=128,
+            THRESHOLD=0.2,
+            SAMPLE_BIN_NUM=5,
+            FINE_THRESHOLD=0.1,
+            FINE_SAMPLE_BIN_NUM=3,
+            SCALE_RATIO=0.5,
+            POSITIVE_WEIGHT=0,
+            BOX_CODER=dict(NAME="RBGBBoxCoder", NUM_SIZE=n_classes,
+                           NUM_DIR_BINS=12 if with_rot else 1,
+                           WITH_ROT=with_rot),
+            RAY_NUM=18,
+            RAY_BASED_GROUP=dict(
+                RAY_NUM=18, SEED_FEAT_DIM=32, FPS_NUM_SAMPLE=128,
+                SAMPLE_NUM_THRESHOLD=1, SAMPLE_BIN_NUM=5, SCALE_RATIO=0.5,
+                SA_RADIUS=0.2, SA_NUM_SAMPLE=4, NUM_SEED_POINTS=64,
+                FINE_SAMPLE_BIN_NUM=3, FINE_SA_RADIUS=0.1,
+                FINE_SA_NUM_SAMPLE=4, FINE_SAMPLE_NUM_THRESHOLD=1),
+            LOSS_CONFIG=dict(LOSS_WEIGHTS={
+                "scale_loss_weight": 1.11, "sample_loss_weight": 3.0,
+                "obj_loss_weight": 5.0, "dir_class_loss_weight": 1.0,
+                "dir_res_loss_weight": 10.0, "size_loss_weight": 1.11,
+                "cls_loss_weight": 1.0, "iou_loss_weight": 3.33,
+                "intersection_loss_weight": 5.0}),
+            TRAIN=dict(POS_DISTANCE_THR=0.3, NEG_DISTANCE_THR=0.3,
+                       SAMPLE_MODE="vote", USE_NMS=False),
+            TEST=dict(SAMPLE_MODE="seed" if with_rot else "vote",
+                      NMS_THR=0.25, SCORE_THR=0.05,
+                      PER_CLASS_PROPOSAL=True),
+        ),
+        POST_PROCESSING=dict(RECALL_THRESH_LIST=[0.25, 0.5],
+                             EVAL_METRIC="scannet"),
+    ))
+
+
+@pytest.mark.parametrize("with_rot", [False, True])
+def test_rbgnet_train_loss_grads(rng, with_rot):
+    cfg = tiny_rbg_cfg(with_rot=with_rot)
+    model = build_network(cfg, num_class=4)
+    P, S = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(rng, B=2, P=400)
+    if with_rot:
+        batch = dict(batch)
+        batch.pop("semantic_mask")
+        batch.pop("instance_mask")
+
+    def loss_fn(P):
+        loss, tb, upd = model.forward_train(P, S, batch,
+                                            jax.random.PRNGKey(1))
+        return loss, (tb, upd)
+
+    (loss, (tb, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(P)
+    assert np.isfinite(float(loss)), tb
+    for k, v in tb.items():
+        assert np.isfinite(float(v)), (k, v)
+    for k, v in upd.items():
+        assert v.shape == S[k].shape, k
+    for key in ["backbone_3d.SA_modules.0.mlps.0.0.conv.weight",
+                "point_head.vote_module.conv_out.weight",
+                "point_head.raybasedgrouping.fuse_layer.mlp.layer0"
+                ".conv.weight",
+                "point_head.conv_reg.weight"]:
+        g = np.asarray(grads[key])
+        assert np.isfinite(g).all(), key
+    assert float(jnp.abs(
+        grads["point_head.conv_reg.weight"]).sum()) > 0
+
+
+def test_rbgnet_eval(rng):
+    cfg = tiny_rbg_cfg()
+    model = build_network(cfg, num_class=4)
+    P, S = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(rng, B=1, P=400)
+    out = model.forward_eval(P, S, batch)
+    assert out["pred_boxes"].shape == (1, 64, 7)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    s = np.asarray(out["pred_scores"][0])
+    v = np.asarray(out["pred_valid"][0])
+    assert ((s >= 0) & (s <= 1)).all()
+    # positive-assignment sanity: with GT-centered proposals some targets
+    # must be positive when the scale gate is opened; here we only require
+    # the pipeline to produce a valid padded prediction set
+    assert v.dtype == bool
