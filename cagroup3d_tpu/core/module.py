@@ -30,6 +30,9 @@ class Ctx:
         self.train = train
         self.axis_name = axis_name
         self.updates: Params = {}
+        # traced runtime counters (e.g. capacity-overflow drops); merged
+        # into tb_dict / eval warnings by the detectors
+        self.stats: Params = {}
         self._rng = rng
 
     def next_rng(self) -> jax.Array:

@@ -20,7 +20,8 @@ from .sparse import PAD_COORD, SparseTensor
 
 
 def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
-                  cap: int, mode: str = "mean"
+                  cap: int, mode: str = "mean", stats: dict = None,
+                  stat_name: str = "unique"
                   ) -> Tuple[SparseTensor, jnp.ndarray]:
     """Deduplicate lattice coords, reducing features per voxel.
 
@@ -43,6 +44,9 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
     head = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     uid_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1  # rank of each row's voxel
     ok_sorted = (sk != INVALID_KEY) & (uid_sorted < cap)
+    if stats is not None:
+        n_unique = jnp.sum((head & (sk != INVALID_KEY)).astype(jnp.int32))
+        stats[f"overflow/{stat_name}"] = jnp.maximum(n_unique - cap, 0)
 
     # Output coords: scatter the first occurrence of each voxel.
     slot_for_coord = jnp.where(head & ok_sorted, uid_sorted, cap)
@@ -72,7 +76,8 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
 
 
 def unique_voxels_classes(lat: jnp.ndarray, feats: jnp.ndarray,
-                          valid: jnp.ndarray, cap: int, mode: str = "mean"):
+                          valid: jnp.ndarray, cap: int, mode: str = "mean",
+                          stats: dict = None, stat_name: str = "classes"):
     """Class-batched unique_voxels with the class axis flattened out of
     every scatter/gather (batched scatters scalarize on TPU).
 
@@ -88,6 +93,11 @@ def unique_voxels_classes(lat: jnp.ndarray, feats: jnp.ndarray,
                            axis=1)
     uid_sorted = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
     ok_sorted = (sk != INVALID_KEY) & (uid_sorted < cap)
+    if stats is not None:
+        n_unique = jnp.sum((head & (sk != INVALID_KEY)).astype(jnp.int32),
+                           axis=1)
+        stats[f"overflow/{stat_name}"] = jnp.sum(
+            jnp.maximum(n_unique - cap, 0))
 
     cls0 = (jnp.arange(G, dtype=jnp.int32) * (cap + 1))[:, None]
     slot = jnp.where(head & ok_sorted, uid_sorted, cap) + cls0   # [G, P]
@@ -133,7 +143,8 @@ def voxelize_points(points: jnp.ndarray, feats: jnp.ndarray,
     return unique_voxels(lat, feats, valid, cap, mode)
 
 
-def stride_reduce_coords(st: SparseTensor, factor: int, cap: int
+def stride_reduce_coords(st: SparseTensor, factor: int, cap: int,
+                         stats: dict = None, stat_name: str = "stride"
                          ) -> Tuple[SparseTensor, jnp.ndarray]:
     """Coordinate set of a strided (downsampling) conv/pool output.
 
@@ -144,7 +155,8 @@ def stride_reduce_coords(st: SparseTensor, factor: int, cap: int
     new_stride = st.stride * factor
     lat = jnp.floor_divide(st.coords, new_stride)
     dummy = jnp.zeros((st.cap, 1), st.feats.dtype)
-    ded, inv = unique_voxels(lat, dummy, st.valid, cap, mode="first")
+    ded, inv = unique_voxels(lat, dummy, st.valid, cap, mode="first",
+                             stats=stats, stat_name=stat_name)
     out = SparseTensor(
         coords=jnp.where(ded.valid[:, None], ded.coords * new_stride,
                          PAD_COORD),

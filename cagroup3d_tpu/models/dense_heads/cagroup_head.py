@@ -218,12 +218,16 @@ class CAGroup3DHead:
         lat_f = jnp.floor(pts_all[None] /
                           vox_sizes[:, None, :]).astype(jnp.int32)
         fc, ff, fv = unique_voxels_classes(lat_f, feats_b, sel_t,
-                                           self.fine_cap, mode="mean")
+                                           self.fine_cap, mode="mean",
+                                           stats=ctx.stats,
+                                           stat_name="head_fine")
         fine = SparseTensor(fc, ff, fv, 1)
         lat_c = jnp.floor(pts_all[None] / (vox_sizes[:, None, :] *
                                            self.expand)).astype(jnp.int32)
         cc, cf, cv = unique_voxels_classes(lat_c, feats_b, sel_t,
-                                           self.expand_cap, mode="mean")
+                                           self.expand_cap, mode="mean",
+                                           stats=ctx.stats,
+                                           stat_name="head_expand")
         coarse = SparseTensor(cc, cf, cv, 1)
         # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice
         # (stride 1); coarse on the x{expand} lattice.

@@ -55,7 +55,7 @@ class CAGroup3D(Detector3DTemplate):
             self.semantic_min_threshold)
 
     # ------------------------------------------------------------------
-    def _voxelize_scene(self, points, valid):
+    def _voxelize_scene(self, points, valid, stats=None):
         """points [P, 6] (xyz, rgb 0..255) -> (SparseTensor stride 1,
         origin metric [3], normalized points [P, 3])."""
         v = self.voxel_size
@@ -67,14 +67,16 @@ class CAGroup3D(Detector3DTemplate):
         min_lat = jnp.where(min_lat == big, 0, min_lat)
         lat = lat - min_lat[None, :]
         origin = min_lat.astype(jnp.float32) * v
-        st, _ = unique_voxels(lat, rgb, valid, self.input_cap, mode="first")
+        st, _ = unique_voxels(lat, rgb, valid, self.input_cap, mode="first",
+                              stats=stats, stat_name="input")
         return st, origin, xyz - origin[None, :]
 
     def _forward_scene(self, P: Params, train: bool, S: Params, points,
                        pvalid, sem_thr, rng, axis_name="scene"):
         """Single scene forward up to one-stage proposals."""
         ctx = Ctx(train=train, axis_name=axis_name, rng=rng)
-        st, origin, pts_norm = self._voxelize_scene(points, pvalid)
+        st, origin, pts_norm = self._voxelize_scene(points, pvalid,
+                                                    stats=ctx.stats)
         feat = self.backbone_3d(P, S, ctx, st)
         head_out = self.dense_head.forward(P, S, ctx, feat, sem_thr)
         rois, roi_scores, roi_labels, roi_valid = \
@@ -103,9 +105,10 @@ class CAGroup3D(Detector3DTemplate):
                 P, S, ctx, feat, rois, roi_scores,
                 roi_labels.astype(jnp.int32), roi_valid, boxes_n, labels,
                 bvalid)
-            return head_out, roi_out, origin, pts_norm, ctx.updates
+            return head_out, roi_out, origin, pts_norm, ctx.updates, \
+                ctx.stats
 
-        head_outs, roi_outs, origins, pts_norm, updates = jax.vmap(
+        head_outs, roi_outs, origins, pts_norm, updates, stats = jax.vmap(
             scene, axis_name="scene")(
                 batch["points"], batch["points_valid"], gt_boxes, gt_labels,
                 gt_valid, rngs)
@@ -121,6 +124,9 @@ class CAGroup3D(Detector3DTemplate):
         tb.update(tb2)
         loss = loss_one + loss_two
         tb["loss_all"] = loss
+        # capacity-overflow counters (dropped voxels), summed over scenes
+        for k, v in stats.items():
+            tb[k] = jnp.sum(v).astype(jnp.float32)
         # BN updates are psum-identical across the scene axis; take slice 0
         state_updates = {k: v[0] for k, v in updates.items()}
         return loss, tb, state_updates
@@ -143,10 +149,13 @@ class CAGroup3D(Detector3DTemplate):
                 P, S, ctx, feat, rois, roi_scores,
                 roi_labels.astype(jnp.int32), roi_valid)
             boxes = out["batch_box_preds"].at[:, :3].add(origin[None, :])
+            overflow = sum(jnp.sum(v) for v in ctx.stats.values()) \
+                if ctx.stats else jnp.int32(0)
             return dict(pred_boxes=boxes,
                         pred_scores=out["batch_score_preds"],
                         pred_labels=out["batch_cls_preds"],
-                        pred_valid=out["batch_pred_valid"])
+                        pred_valid=out["batch_pred_valid"],
+                        overflow=overflow)
 
         if B == 1:
             # batch-1 eval (the reference's eval protocol): skip the scene

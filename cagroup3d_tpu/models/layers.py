@@ -52,8 +52,11 @@ def _nbr_odd(ctx: Ctx, src: SparseTensor, tgt_coords, tgt_valid, k: int):
 
 def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
     key = ("reduce", id(st.coords), factor, cap)
+    stats = getattr(ctx, "stats", None)
     out, _ = _cached(ctx, key,
-                     lambda: (st.coords,) + stride_reduce_coords(st, factor, cap))[1:]
+                     lambda: (st.coords,) + stride_reduce_coords(
+                         st, factor, cap, stats=stats,
+                         stat_name=f"stride{st.stride * factor}"))[1:]
     return out
 
 

@@ -117,7 +117,8 @@ class CAGroup3DRoIHead:
         cell = self.voxel_size * self.coord_key
         lat = jnp.floor(pts / cell).astype(jnp.int32)
         ded, inv = unique_voxels(lat, jnp.zeros((R * g3, 1)), pvalid,
-                                 self.grid_cap, mode="first")
+                                 self.grid_cap, mode="first",
+                                 stats=ctx.stats, stat_name="roi_grid")
         qcoords = ded.coords * self.coord_key       # raw units on st lattice
         f = scan_conv_grouped(st.coords, st.valid, st.feats, st.stride,
                               qcoords, ded.valid, self.roi_conv_kernel,

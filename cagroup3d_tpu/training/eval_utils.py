@@ -39,7 +39,12 @@ def statistics_info(recall_dict, pred_boxes, gt_boxes,
 
 def eval_one_epoch(model, eval_step, params, state, dataset, loader,
                    epoch_id, logger, result_dir: Path = None,
-                   class_names=None):
+                   class_names=None, dist: bool = False):
+    """When ``dist`` and the loader is rank-sharded, per-rank det_annos are
+    merged across processes (reference eval_utils.py:75-78 +
+    common_utils.merge_results_dist) and only rank 0 evaluates."""
+    from ..utils import commu_utils
+
     class_names = class_names or dataset.class_names
     det_annos: List[Dict] = []
     total_time = 0.0
@@ -50,6 +55,12 @@ def eval_one_epoch(model, eval_step, params, state, dataset, loader,
                  if k in ("points", "points_valid")}
         t0 = time.time()
         preds = eval_step(params, state, batch, jnp.float32(epoch_id))
+        overflow = preds.pop("overflow", None)
+        if overflow is not None and int(np.sum(np.asarray(overflow))) > 0:
+            logger.warning(
+                f"capacity overflow: {int(np.sum(np.asarray(overflow)))} "
+                f"voxels dropped this batch — raise the capacity knobs "
+                f"(INPUT_CAP/FINE_CAP/CAPS, see tools/tune_caps.py)")
         boxes = np.asarray(preds["pred_boxes"])
         total_time += time.time() - t0
         scores = np.asarray(preds["pred_scores"])
@@ -68,6 +79,13 @@ def eval_one_epoch(model, eval_step, params, state, dataset, loader,
                 recall_dict = statistics_info(recall_dict, boxes[b][v], gt)
         det_annos += dataset.generate_prediction_dicts(
             batch_np, pred_dicts, class_names)
+    if dist:
+        det_annos = commu_utils.merge_results_dist(
+            det_annos, total_size=len(dataset))
+        recall_dict = {k: int(v) for k, v in commu_utils.reduce_dict(
+            recall_dict, average=False).items()} if recall_dict else {}
+        if commu_utils.get_rank() != 0:
+            return {}
     logger.info(f"eval: {n_scenes} scenes, "
                 f"{total_time / max(n_scenes, 1) * 1e3:.1f} ms/scene "
                 f"(incl. host transfer)")

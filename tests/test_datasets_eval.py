@@ -143,3 +143,50 @@ class TestIndoorEval:
                          scores_3d=np.array([0.9]))]
         ret = indoor_eval(gt_annos, dt_annos, [0.25], {0: "c0"})
         assert ret["mAP_0.25"] == pytest.approx(0.0)
+
+
+def test_rank_sharded_eval_merge_matches_single_process():
+    """Loader rank-sharding + merge_results_dist must reproduce the
+    single-process scene order (reference DistributedSampler +
+    common_utils.merge_results_dist)."""
+    from cagroup3d_tpu.datasets import DataLoader
+    from cagroup3d_tpu.utils import commu_utils
+
+    class FakeDS:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return {"scene_id": i}
+
+        def collate_batch(self, items):
+            return {"scene_id": [it["scene_id"] for it in items]}
+
+    ds = FakeDS()
+    world = 2
+
+    def run_rank(rank):
+        loader = DataLoader(ds, batch_size=1, shuffle=False, seed=0,
+                            rank=rank, world_size=world, drop_last=False)
+        out = []
+        for b in loader:
+            out += list(b["scene_id"])
+        return out
+
+    shards = [run_rank(r) for r in range(world)]
+    # monkeypatch the collective with the collected shards
+    orig = commu_utils.all_gather
+    commu_utils.all_gather = lambda data: shards
+    try:
+        merged = commu_utils.merge_results_dist(shards[0],
+                                                total_size=len(ds))
+    finally:
+        commu_utils.all_gather = orig
+
+    single = []
+    loader = DataLoader(ds, batch_size=1, shuffle=False, seed=0,
+                        rank=0, world_size=1, drop_last=False)
+    for b in loader:
+        single += list(b["scene_id"])
+    assert merged == single
+    assert len(merged) == len(ds)

@@ -102,7 +102,8 @@ def test_train_forward_loss_grads(rng, with_yaw):
                                             cur_epoch=0)
         return loss, (tb, upd)
 
-    (loss, (tb, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(P)
+    (loss, (tb, upd)), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(P)
     assert np.isfinite(float(loss)), tb
     for k, v in tb.items():
         assert np.isfinite(float(v)), (k, v)
@@ -133,8 +134,8 @@ def test_open_semantic_gate_produces_positives(rng):
     P["dense_head.semantic_conv.bias"] = \
         P["dense_head.semantic_conv.bias"] * 0 + 5.0
     batch = synthetic_batch(rng, B=1)
-    loss, tb, _ = model.forward_train(P, S, batch, jax.random.PRNGKey(1),
-                                      cur_epoch=0)
+    loss, tb, _ = jax.jit(lambda p, b: model.forward_train(
+        p, S, b, jax.random.PRNGKey(1), cur_epoch=0))(P, batch)
     assert np.isfinite(float(loss))
     assert float(tb["loss_centerness"]) > 0, tb
     assert float(tb["loss_bbox"]) > 0, tb
@@ -152,8 +153,9 @@ def test_eval_batch1_matches_vmapped_path(rng):
     b1 = synthetic_batch(rng, B=1)
     b2 = {k: np.repeat(np.asarray(v), 2, axis=0) for k, v in b1.items()}
     b2 = {k: jnp.asarray(v) for k, v in b2.items()}
-    out1 = model.forward_eval(P, S, b1, cur_epoch=10)
-    out2 = model.forward_eval(P, S, b2, cur_epoch=10)
+    fe = jax.jit(lambda p, b: model.forward_eval(p, S, b, cur_epoch=10))
+    out1 = fe(P, b1)
+    out2 = fe(P, b2)
     np.testing.assert_allclose(np.asarray(out1["pred_boxes"][0]),
                                np.asarray(out2["pred_boxes"][0]),
                                rtol=1e-3, atol=1e-3)
@@ -169,7 +171,8 @@ def test_eval_forward(rng):
     model = build_network(cfg, num_class=4)
     P, S = model.init(jax.random.PRNGKey(0))
     batch = synthetic_batch(rng)
-    preds = model.forward_eval(P, S, batch, cur_epoch=10)
+    preds = jax.jit(lambda p, b: model.forward_eval(
+        p, S, b, cur_epoch=10))(P, batch)
     assert preds["pred_boxes"].shape == (2, 32, 7)
     assert np.isfinite(np.asarray(preds["pred_boxes"])).all()
     v = np.asarray(preds["pred_valid"])

@@ -252,3 +252,32 @@ class TestPooling:
         out = interpolate_at(st, jnp.asarray(q), jnp.ones(2, bool))
         exp = q @ np.array([[0.5], [1.0], [-1.0]])
         np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-4)
+
+
+def test_unique_voxels_overflow_counter(rng):
+    import jax.numpy as jnp
+    from cagroup3d_tpu.core.voxelize import unique_voxels, \
+        unique_voxels_classes
+
+    lat = jnp.asarray(rng.randint(0, 6, (500, 3)).astype(np.int32))
+    feats = jnp.asarray(rng.randn(500, 4).astype(np.float32))
+    valid = jnp.ones(500, bool)
+    n_unique = len(np.unique(np.asarray(lat), axis=0))
+    stats = {}
+    st, _ = unique_voxels(lat, feats, valid, cap=64, stats=stats,
+                          stat_name="t")
+    assert int(stats["overflow/t"]) == max(n_unique - 64, 0) > 0
+    stats2 = {}
+    st2, _ = unique_voxels(lat, feats, valid, cap=1024, stats=stats2,
+                           stat_name="t")
+    assert int(stats2["overflow/t"]) == 0
+
+    latc = jnp.asarray(rng.randint(0, 6, (3, 500, 3)).astype(np.int32))
+    featc = jnp.asarray(rng.randn(3, 500, 4).astype(np.float32))
+    vc = jnp.ones((3, 500), bool)
+    stats3 = {}
+    unique_voxels_classes(latc, featc, vc, cap=64, stats=stats3,
+                          stat_name="c")
+    expect = sum(max(len(np.unique(np.asarray(latc[g]), axis=0)) - 64, 0)
+                 for g in range(3))
+    assert int(stats3["overflow/c"]) == expect

@@ -94,7 +94,8 @@ def test_rbgnet_train_loss_grads(rng, with_rot):
                                             jax.random.PRNGKey(1))
         return loss, (tb, upd)
 
-    (loss, (tb, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(P)
+    (loss, (tb, upd)), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(P)
     assert np.isfinite(float(loss)), tb
     for k, v in tb.items():
         assert np.isfinite(float(v)), (k, v)
@@ -116,7 +117,7 @@ def test_rbgnet_eval(rng):
     model = build_network(cfg, num_class=4)
     P, S = model.init(jax.random.PRNGKey(0))
     batch = synthetic_batch(rng, B=1, P=400)
-    out = model.forward_eval(P, S, batch)
+    out = jax.jit(lambda p, b: model.forward_eval(p, S, b))(P, batch)
     assert out["pred_boxes"].shape == (1, 64, 7)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
     s = np.asarray(out["pred_scores"][0])

@@ -17,6 +17,8 @@ import numpy as np
 def parse_config():
     parser = argparse.ArgumentParser(description="arg parser")
     parser.add_argument("--cfg_file", type=str, default=None)
+    parser.add_argument("--dist", action="store_true", default=False,
+                        help="multi-host eval (jax.distributed)")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
@@ -48,7 +50,7 @@ def eval_ckpt(args, cfg, ckpt_path, model, eval_step, dataset, loader,
     logger.info(f"loaded {ckpt_path} (epoch {ck.get('epoch')})")
     return eval_one_epoch(model, eval_step, params, state, dataset, loader,
                           epoch_id, logger, result_dir=result_dir,
-                          class_names=cfg.CLASS_NAMES)
+                          class_names=cfg.CLASS_NAMES, dist=args.dist)
 
 
 def main():
@@ -59,6 +61,11 @@ def main():
     from cagroup3d_tpu.parallel import make_mesh, make_eval_step
     from cagroup3d_tpu.utils.common_utils import create_logger
 
+    if args.dist:
+        jax.distributed.initialize()
+    from cagroup3d_tpu.utils.common_utils import get_dist_info
+    rank, world_size = get_dist_info()
+
     batch_size = args.batch_size or 1
     output_dir = Path("output") / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
     eval_dir = output_dir / "eval"
@@ -68,7 +75,8 @@ def main():
 
     dataset, loader, _ = build_dataloader(
         dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
-        batch_size=batch_size, logger=logger, training=False)
+        batch_size=batch_size, logger=logger, training=False,
+        rank=rank, world_size=world_size)
 
     model = build_network(model_cfg=cfg.MODEL,
                           num_class=len(cfg.CLASS_NAMES), dataset=dataset)
