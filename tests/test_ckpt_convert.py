@@ -105,6 +105,6 @@ def test_kernel_perm_inverse():
     # digit-reversal is an involution on (x, y, z) -> (z, y, x)
     assert (perm[perm] == np.arange(27)).all()
     a = np.arange(27 * 2 * 3).reshape(27, 2, 3).astype(np.float32)
-    b = convert_kernel(a, "x_fastest")
+    b = convert_kernel(a)
     # offset (1,0,0) in me order (x fastest) is me index 1 -> ours index 9
     assert (b[9] == a[1]).all()

@@ -30,31 +30,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def me_to_ours_perm(k: int, me_order: str = "x_fastest") -> np.ndarray:
-    """Permutation p with ours[j] = me[p[j]] over the K^3 kernel axis."""
+def me_to_ours_perm(k: int) -> np.ndarray:
+    """Permutation p with ours[j] = me[p[j]] over the K^3 kernel axis.
+
+    ME 0.5.x enumerates kernel offsets with the FIRST spatial axis varying
+    fastest (kernel_region.hpp coordinate_at iterates axis 0 innermost);
+    our kernel_offsets (core/kernel_maps.py) is z-fastest.  The mapping is
+    pinned by tests/test_me_semantics.py: an independent numpy oracle in
+    ME convention, converted through this permutation, matches the engine
+    bit-for-bit on subm/strided/generative-transpose convs."""
     idx = np.arange(k ** 3)
-    if me_order == "x_fastest":
-        # ours index j = x*k^2 + y*k + z (z fastest); the same offset in
-        # ME enumeration (x fastest) sits at index x + y*k + z*k^2
-        x = idx // (k * k)
-        y = (idx // k) % k
-        z = idx % k
-        return x + k * y + k * k * z
-    elif me_order == "z_fastest":
-        return idx
-    raise ValueError(me_order)
+    # ours index j = x*k^2 + y*k + z (z fastest); the same offset in ME
+    # enumeration (x fastest) sits at index x + y*k + z*k^2
+    x = idx // (k * k)
+    y = (idx // k) % k
+    z = idx % k
+    return x + k * y + k * k * z
 
 
-def convert_kernel(arr: np.ndarray, me_order: str) -> np.ndarray:
+def convert_kernel(arr: np.ndarray) -> np.ndarray:
     if arr.ndim == 2:  # kernel_size == 1
         return arr[None, :, :]
     k3 = arr.shape[0]
     k = round(k3 ** (1 / 3))
     assert k ** 3 == k3, f"non-cubic kernel {arr.shape}"
-    return arr[me_to_ours_perm(k, me_order)]
+    return arr[me_to_ours_perm(k)]
 
 
-def convert_state_dict(sd, n_classes: int, me_order: str = "x_fastest"):
+def convert_state_dict(sd, n_classes: int):
     """torch state_dict {name: np array} -> (params, state) flat dicts."""
     params, state = {}, {}
     percls = {}
@@ -75,7 +78,7 @@ def convert_state_dict(sd, n_classes: int, me_order: str = "x_fastest"):
     for (base, rest), by_cls in percls.items():
         arrs = [by_cls[i] for i in range(n_classes)]
         if rest.endswith("kernel"):
-            arrs = [convert_kernel(a, me_order) for a in arrs]
+            arrs = [convert_kernel(a) for a in arrs]
             _put(params, state, f"{base}.{rest}", np.stack(arrs))
         elif rest == "scale":
             _put(params, state, f"{base}.scale",
@@ -86,7 +89,7 @@ def convert_state_dict(sd, n_classes: int, me_order: str = "x_fastest"):
     out_p = {}
     for k, v in params.items():
         if k.endswith(".kernel") and "cls_individual" not in k:
-            v = convert_kernel(v, me_order)
+            v = convert_kernel(v)
         elif re.search(r"(reg_fc_layers\.\d+|reg_pred_layer)\.weight$", k) \
                 and v.ndim == 2:
             v = v.T
@@ -111,8 +114,6 @@ def main():
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--cfg_file", required=True)
-    ap.add_argument("--me_order", default="x_fastest",
-                    choices=["x_fastest", "z_fastest"])
     args = ap.parse_args()
 
     import torch
@@ -127,7 +128,7 @@ def main():
     c = EasyDict()
     cfg_from_yaml_file(args.cfg_file, c)
     n_classes = len(c.CLASS_NAMES)
-    params, state = convert_state_dict(sd, n_classes, args.me_order)
+    params, state = convert_state_dict(sd, n_classes)
 
     # validate against a freshly initialized model: same keys, same shapes
     import jax
