@@ -37,12 +37,16 @@ def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
     """
     n_out = nbr.shape[1]
     cout = w.shape[-1]
+    # cast BEFORE the gathers: the row gathers are the HBM-bound cost and
+    # bf16 halves their traffic
+    feats = feats.astype(compute_dtype)
+    w = w.astype(compute_dtype)
 
     def step(acc, xs):
         w_k, nbr_k = xs
         f = jnp.take(feats, jnp.maximum(nbr_k, 0), axis=0)
-        f = jnp.where((nbr_k >= 0)[:, None], f, 0.0).astype(compute_dtype)
-        acc = acc + jnp.dot(f, w_k.astype(compute_dtype),
+        f = jnp.where((nbr_k >= 0)[:, None], f, 0.0)
+        acc = acc + jnp.dot(f, w_k,
                             preferred_element_type=jnp.float32)
         return acc, None
 

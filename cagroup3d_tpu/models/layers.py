@@ -20,8 +20,14 @@ from ..core.kernel_maps import (conv_offsets, neighbor_table,
 from ..core.module import Ctx, Params, apply_bn
 from ..core.norm import elu, relu
 from ..core.sparse import SparseTensor
-from ..core.sparse_conv import gather_gemm
+from ..core.sparse_conv import gather_gemm as _gather_gemm
 from ..core.voxelize import stride_reduce_coords
+
+
+def gather_gemm(feats, nbr, w, bias=None):
+    """Backbone conv gathers run in bf16 (f32 accumulation): the row
+    gathers are HBM-bound and bf16 halves their traffic."""
+    return _gather_gemm(feats, nbr, w, bias, compute_dtype=jnp.bfloat16)
 
 
 def _cached(ctx: Ctx, key, fn):
