@@ -165,3 +165,127 @@ def stride_reduce_coords(st: SparseTensor, factor: int, cap: int,
         stride=new_stride,
     )
     return out, inv
+
+
+def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
+                                 valid: jnp.ndarray, cap_fine: int,
+                                 cap_coarse: int, coarse_factor: int,
+                                 stats: dict = None):
+    """Build the fine map AND its ``coarse_factor``-times-coarser map with
+    one FULL-SIZE sort (the dense head's per-class fine + expand
+    re-voxelizations, cagroup_head.py:257-271).
+
+    The fine map is a flat-scatter segment mean over the [G, P] sort.
+    The coarse map is then built FROM THE FINE MAP: coarse lattice =
+    fine // factor, and a count-weighted mean of fine-voxel means equals
+    the point mean exactly, so the second sort is over cap_fine rows
+    instead of P (the fine caps are 16x smaller than the candidate pool).
+    Features flow in bf16 (the gathers and scatter-adds are HBM-bound);
+    accumulation error for tens-of-points means is ~1e-2 relative, inside
+    conv input precision.  Divergence from two independent builds: points
+    whose fine voxel was capacity-dropped don't reach the coarse map
+    (counted in stats; capacity overflow is already a flagged condition).
+
+    lat i32[G, P, 3] FINE lattice coords; feats [P, F] (shared across
+    classes); valid [G, P] per-class selection.
+    Returns ((coords, feats, valid) fine, (coords, feats, valid) coarse).
+    """
+    import jax
+
+    G, P, _ = lat.shape
+    F = feats.shape[-1]
+    keys = pack_coords(lat, valid)                        # [G, P]
+    iota = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (G, P))
+    # one sort carries the permutation alongside the keys (argsort + a
+    # separate key gather would pay the sort network twice)
+    sk, order = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
+    # sorted lattice coords by UNPACKING the sorted keys (pure ALU; avoids
+    # a 1.2M-row gather of 12-byte rows)
+    from .hashing import _BITS, _EXTENT, _MARGIN
+    lat_s = jnp.stack(
+        [(jax.lax.shift_right_logical(sk, 2 * _BITS) & (_EXTENT - 1)),
+         (jax.lax.shift_right_logical(sk, _BITS) & (_EXTENT - 1)),
+         sk & (_EXTENT - 1)], axis=-1) - _MARGIN          # [G, P, 3]
+    feats_s = jnp.take(feats.astype(jnp.bfloat16), order.reshape(-1),
+                       axis=0)                            # [G*P, F] bf16
+
+    # ---- fine map ----
+    head = jnp.concatenate(
+        [jnp.ones((G, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1)
+    tail = jnp.concatenate(
+        [sk[:, 1:] != sk[:, :-1], jnp.ones((G, 1), bool)], axis=1)
+    ok = sk != INVALID_KEY
+    uid = jnp.cumsum((head & ok).astype(jnp.int32), axis=1) - 1
+    keep = ok & (uid < cap_fine)
+    if stats is not None:
+        n_unique = jnp.sum((head & ok).astype(jnp.int32), axis=1)
+        stats["overflow/head_fine"] = jnp.sum(
+            jnp.maximum(n_unique - cap_fine, 0))
+    cls0 = (jnp.arange(G, dtype=jnp.int32) * (cap_fine + 1))[:, None]
+    slot_h = jnp.where(head & keep, uid, cap_fine) + cls0
+    slot_t = jnp.where(tail & keep, uid, cap_fine) + cls0
+    f_coords = (jnp.full((G * (cap_fine + 1), 3), PAD_COORD, jnp.int32)
+                .at[slot_h.reshape(-1)].set(lat_s.reshape(-1, 3)))
+    f_coords = f_coords.reshape(G, cap_fine + 1, 3)[:, :cap_fine]
+    # segment sums via an f32 prefix scan + boundary gathers: streaming
+    # cumsum beats a 1.2M-row scatter-add by ~5x on TPU
+    S = jnp.cumsum(feats_s.reshape(G, P, F).astype(jnp.float32), axis=1)
+    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (G, P))
+    start = (jnp.full((G * (cap_fine + 1),), 0, jnp.int32)
+             .at[slot_h.reshape(-1)].set(pos.reshape(-1)))
+    end = (jnp.full((G * (cap_fine + 1),), -1, jnp.int32)
+           .at[slot_t.reshape(-1)].set(pos.reshape(-1)))
+    start = start.reshape(G, cap_fine + 1)[:, :cap_fine]
+    end = end.reshape(G, cap_fine + 1)[:, :cap_fine]
+    f_cnt = jnp.maximum(end - start + 1, 0)
+    rowP2 = (jnp.arange(G, dtype=jnp.int32) * P)[:, None]
+    Sf = S.reshape(G * P, F)
+    s_end = jnp.take(Sf, (jnp.maximum(end, 0) + rowP2).reshape(-1), axis=0)
+    s_before = jnp.take(Sf, (jnp.maximum(start - 1, 0) + rowP2).reshape(-1),
+                        axis=0)
+    s_before = jnp.where((start.reshape(-1) > 0)[:, None], s_before, 0.0)
+    f_sum = (s_end - s_before).reshape(G, cap_fine, F)
+    f_valid = f_cnt > 0
+    f_feats = jnp.where(
+        f_valid[..., None],
+        f_sum / jnp.maximum(f_cnt, 1)[..., None], 0.0)
+
+    # ---- coarse map from the fine map (count-weighted means) ----
+    lat_c = jnp.floor_divide(f_coords, coarse_factor)
+    keys_c = pack_coords(lat_c, f_valid)
+    order2 = jnp.argsort(keys_c, axis=1).astype(jnp.int32)
+    rowF = (jnp.arange(G, dtype=jnp.int32) * cap_fine)[:, None]
+    flat2 = (order2 + rowF).reshape(-1)
+    sk_c = jnp.take(keys_c.reshape(-1), flat2).reshape(G, cap_fine)
+    lat_c_s = jnp.take(lat_c.reshape(-1, 3), flat2, axis=0
+                       ).reshape(G, cap_fine, 3)
+    sum_s = jnp.take(f_sum.reshape(-1, F), flat2, axis=0)   # [G*capf, F]
+    cnt_s = jnp.take(f_cnt.reshape(-1), flat2)
+
+    head2 = jnp.concatenate(
+        [jnp.ones((G, 1), bool), sk_c[:, 1:] != sk_c[:, :-1]], axis=1)
+    ok2 = sk_c != INVALID_KEY
+    uid2 = jnp.cumsum((head2 & ok2).astype(jnp.int32), axis=1) - 1
+    keep2 = ok2 & (uid2 < cap_coarse)
+    if stats is not None:
+        n_unique2 = jnp.sum((head2 & ok2).astype(jnp.int32), axis=1)
+        stats["overflow/head_expand"] = jnp.sum(
+            jnp.maximum(n_unique2 - cap_coarse, 0))
+    cls2 = (jnp.arange(G, dtype=jnp.int32) * (cap_coarse + 1))[:, None]
+    slot2 = jnp.where(head2 & keep2, uid2, cap_coarse) + cls2
+    c_coords = (jnp.full((G * (cap_coarse + 1), 3), PAD_COORD, jnp.int32)
+                .at[slot2.reshape(-1)].set(lat_c_s.reshape(-1, 3)))
+    c_coords = c_coords.reshape(G, cap_coarse + 1, 3)[:, :cap_coarse]
+    seg2 = jnp.where(keep2, uid2, cap_coarse) + cls2
+    c_cnt = jnp.zeros((G * (cap_coarse + 1),), jnp.int32).at[
+        seg2.reshape(-1)].add(jnp.where(keep2, cnt_s.reshape(G, cap_fine),
+                                        0).reshape(-1))
+    c_cnt = c_cnt.reshape(G, cap_coarse + 1)[:, :cap_coarse]
+    c_sum = jnp.zeros((G * (cap_coarse + 1), F), jnp.float32).at[
+        seg2.reshape(-1)].add(sum_s.astype(jnp.float32))
+    c_sum = c_sum.reshape(G, cap_coarse + 1, F)[:, :cap_coarse]
+    c_valid = c_cnt > 0
+    c_feats = jnp.where(
+        c_valid[..., None],
+        c_sum / jnp.maximum(c_cnt, 1)[..., None], 0.0)
+    return (f_coords, f_feats, f_valid), (c_coords, c_feats, c_valid)

@@ -210,24 +210,17 @@ class CAGroup3DHead:
 
         vox_sizes = jnp.asarray(self.voxel_size_list, jnp.float32)
 
-        # class-batched re-voxelization with flattened scatters
-        from ...core.voxelize import unique_voxels_classes
+        # class-batched re-voxelization: BOTH maps from one sort (the
+        # coarse lattice is fine_lat // expand and packed-key order is
+        # monotone under that division, core/voxelize.py)
+        from ...core.voxelize import unique_voxels_classes_paired
         sel_t = jnp.swapaxes(sel_all, 0, 1)                  # [n_cls, 2N]
-        feats_b = jnp.broadcast_to(feats_all[None],
-                                   (n_cls,) + feats_all.shape)
         lat_f = jnp.floor(pts_all[None] /
                           vox_sizes[:, None, :]).astype(jnp.int32)
-        fc, ff, fv = unique_voxels_classes(lat_f, feats_b, sel_t,
-                                           self.fine_cap, mode="mean",
-                                           stats=ctx.stats,
-                                           stat_name="head_fine")
+        (fc, ff, fv), (cc, cf, cv) = unique_voxels_classes_paired(
+            lat_f, feats_all, sel_t, self.fine_cap, self.expand_cap,
+            self.expand, stats=ctx.stats)
         fine = SparseTensor(fc, ff, fv, 1)
-        lat_c = jnp.floor(pts_all[None] / (vox_sizes[:, None, :] *
-                                           self.expand)).astype(jnp.int32)
-        cc, cf, cv = unique_voxels_classes(lat_c, feats_b, sel_t,
-                                           self.expand_cap, mode="mean",
-                                           stats=ctx.stats,
-                                           stat_name="head_expand")
         coarse = SparseTensor(cc, cf, cv, 1)
         # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice
         # (stride 1); coarse on the x{expand} lattice.

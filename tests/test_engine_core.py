@@ -281,3 +281,40 @@ def test_unique_voxels_overflow_counter(rng):
     expect = sum(max(len(np.unique(np.asarray(latc[g]), axis=0)) - 64, 0)
                  for g in range(3))
     assert int(stats3["overflow/c"]) == expect
+
+
+def test_unique_voxels_classes_paired_matches_two_calls(rng):
+    import jax.numpy as jnp
+    from cagroup3d_tpu.core.voxelize import (unique_voxels_classes,
+                                             unique_voxels_classes_paired)
+
+    G, P, F = 3, 700, 8
+    pts = rng.rand(P, 3).astype(np.float32) * 3
+    vox = (rng.rand(G, 3) * 0.3 + 0.1).astype(np.float32)
+    feats = rng.randn(P, F).astype(np.float32)
+    sel = rng.rand(G, P) < 0.5
+    lat = np.floor(pts[None] / vox[:, None, :]).astype(np.int32)
+    lat_c = np.floor(pts[None] / (vox[:, None, :] * 3)).astype(np.int32)
+    np.testing.assert_array_equal(lat_c, np.floor_divide(lat, 3))
+
+    fb = jnp.broadcast_to(jnp.asarray(feats)[None], (G, P, F))
+    # fine cap must hold every unique voxel: the paired builder derives
+    # the coarse map from the fine map, so fine overflow (a flagged
+    # condition) is the one documented divergence
+    stats = {}
+    fc0, ff0, fv0 = unique_voxels_classes(jnp.asarray(lat), fb,
+                                          jnp.asarray(sel), 512)
+    cc0, cf0, cv0 = unique_voxels_classes(jnp.asarray(lat_c), fb,
+                                          jnp.asarray(sel), 128)
+    (fc, ff, fv), (cc, cf, cv) = unique_voxels_classes_paired(
+        jnp.asarray(lat), jnp.asarray(feats), jnp.asarray(sel), 512, 128, 3,
+        stats=stats)
+    assert int(stats["overflow/head_fine"]) == 0
+    np.testing.assert_array_equal(np.asarray(fc), np.asarray(fc0))
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(fv0))
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(ff0), rtol=2e-2,
+                               atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(cc), np.asarray(cc0))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv0))
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf0), rtol=2e-2,
+                               atol=2e-2)
