@@ -403,3 +403,70 @@ def transposed_conv(src: SparseTensor, tgt_coords: jnp.ndarray,
     feats = gather_gemm(src.masked_feats(), nbr, w, bias)
     feats = jnp.where(tgt_valid[:, None], feats, 0.0)
     return SparseTensor(tgt_coords, feats, tgt_valid, out_stride)
+
+
+def generative_up_classes(src_coords, src_valid, src_feats, factor: int,
+                          tgt_coords, tgt_valid, w,
+                          compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Generative transposed conv with kernel_size == stride == factor:
+    every target voxel has EXACTLY ONE (parent, kernel-offset) pair, so the
+    K^3-offset scan of scan_conv_at_classes collapses to one parent lookup,
+    one row gather, and a K^3-way one-hot weight contraction.  Covers the
+    dense head's expand decode (MinkowskiGenerativeConvolutionTranspose
+    k=s=EXPAND_RATIO at the fine coords, cagroup_head.py:274).
+
+    src_coords i32[G, M, 3] in RAW target units (parent lattice = coords /
+    factor), sorted per class; tgt_* [G, N, ...]; w [G, K^3, Cin, Cout] in
+    transpose_offsets order.  Returns f32[G, N, Cout].
+    """
+    from .hashing import INVALID_KEY, pack_coords
+
+    G, M, Cin = src_feats.shape
+    N = tgt_coords.shape[1]
+    K3 = w.shape[1]
+    k = round(K3 ** (1 / 3))
+    assert k == factor and k ** 3 == K3
+    Cout = w.shape[-1]
+
+    # parent + kernel index: offset o with (t + o) % k == 0 per axis;
+    # transpose_offsets[j] = -(a, b, c) with j = (a+1)*k^2+(b+1)*k+(c+1)
+    h = k // 2
+    r = jnp.mod(tgt_coords, k)                       # [G, N, 3] in [0, k)
+    o = jnp.mod(-r, k)
+    o = jnp.where(o > h, o - k, o)                   # centered offset
+    digits = -o + h                                  # (a+1) etc for k=3
+    j_idx = (digits[..., 0] * k + digits[..., 1]) * k + digits[..., 2]
+    parent = jnp.floor_divide(tgt_coords + o, k)
+
+    # flat two-level lookup of the parent row per class
+    keys = pack_coords(jnp.floor_divide(src_coords, k), src_valid)
+    order = jnp.argsort(keys, axis=1).astype(jnp.int32)
+    sk = jnp.take_along_axis(keys, order, axis=1)
+    R = M // 128
+    k2 = sk.reshape(G * R, 128)
+    v2 = order.reshape(G * R, 128)
+    leads = sk[:, ::128]
+    qk = pack_coords(parent, tgt_valid)
+    ge = qk[..., None] >= leads[:, None, :]
+    c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
+    rowsel = (c + (jnp.arange(G, dtype=jnp.int32) * R)[:, None]).reshape(-1)
+    rows_k = jnp.take(k2, rowsel, axis=0).reshape(G, N, 128)
+    rows_v = jnp.take(v2, rowsel, axis=0).reshape(G, N, 128)
+    eq = rows_k == qk[..., None]
+    hit = jnp.any(eq, axis=-1) & (qk != INVALID_KEY)
+    row = jnp.sum(jnp.where(eq, rows_v, 0), axis=-1)
+
+    feats_flat = jnp.where(src_valid[..., None], src_feats, 0.0).astype(
+        compute_dtype).reshape(G * M, Cin)
+    rowf = row + (jnp.arange(G, dtype=jnp.int32) * M)[:, None]
+    fpar = jnp.take(feats_flat, rowf.reshape(-1), axis=0).reshape(G, N, Cin)
+    fpar = jnp.where(hit[..., None], fpar, 0)
+
+    wc = w.astype(compute_dtype)
+    acc = jnp.zeros((G, N, Cout), jnp.float32)
+    for j in range(K3):
+        sel = (j_idx == j) & hit
+        fj = jnp.where(sel[..., None], fpar, 0)
+        acc = acc + jnp.einsum("gnc,gco->gno", fj, wc[:, j],
+                               preferred_element_type=jnp.float32)
+    return jnp.where(tgt_valid[..., None], acc, 0.0)

@@ -251,12 +251,21 @@ class CAGroup3DHead:
                             e_out, coarse.valid)
         e_out = jnp.where(coarse.valid[..., None], elu(e_out), 0.0)
 
-        # generative transpose k3 s3 decoded at the fine coords
-        k_up = transpose_offsets(3, 1)
-        up_out = scan_conv_at_classes(
-            coarse.coords * self.expand, coarse.valid, e_out, self.expand,
-            fine.coords, fine.valid, k_up,
-            P[pre + ".cls_individual_up.0.kernel"])
+        # generative transpose k3 s3 decoded at the fine coords; with
+        # kernel == stride each fine voxel has exactly one parent, so the
+        # 27-offset scan collapses to one lookup + one-hot weights
+        if self.expand == 3:
+            from ...core.sparse_conv import generative_up_classes
+            up_out = generative_up_classes(
+                coarse.coords * self.expand, coarse.valid, e_out,
+                self.expand, fine.coords, fine.valid,
+                P[pre + ".cls_individual_up.0.kernel"])
+        else:
+            k_up = transpose_offsets(3, 1)
+            up_out = scan_conv_at_classes(
+                coarse.coords * self.expand, coarse.valid, e_out,
+                self.expand, fine.coords, fine.valid, k_up,
+                P[pre + ".cls_individual_up.0.kernel"])
         up_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_up.1.0",
                              up_out, fine.valid)
         up_out = jnp.where(fine.valid[..., None], elu(up_out), 0.0)

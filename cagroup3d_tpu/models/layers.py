@@ -66,10 +66,33 @@ def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
     return out
 
 
+_MXU_VMEM_BUDGET = 36 * 1024 * 1024
+
+
+def _use_mxu(st: SparseTensor, k: int, cout: int) -> bool:
+    import jax
+    from ..ops.pallas_conv import mxu_conv_vmem_bytes
+    return (jax.default_backend() == "tpu" and k % 2 == 1
+            and st.cap % 128 == 0 and st.cap >= 192
+            and mxu_conv_vmem_bytes(st.cap, st.num_channels, cout, k)
+            <= _MXU_VMEM_BUDGET)
+
+
 def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
          k: int) -> SparseTensor:
     if k == 1:  # 1x1 conv == plain matmul, no kernel map needed
         f = st.masked_feats() @ params[path + ".kernel"][0]
+        b = params.get(path + ".bias")
+        if b is not None:
+            f = f + b
+        return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
+    w = params[path + ".kernel"]
+    if _use_mxu(st, k, w.shape[-1]):
+        # MXU-fused one-hot slab kernel (ops/pallas_conv.py); the
+        # coordinate sets come from unique_voxels and are key-sorted
+        from ..ops.pallas_conv import subm_conv_mxu
+        f = subm_conv_mxu(st.coords, st.valid, st.masked_feats(), w, k,
+                          st.stride)
         b = params.get(path + ".bias")
         if b is not None:
             f = f + b

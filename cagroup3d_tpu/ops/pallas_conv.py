@@ -1,34 +1,37 @@
-"""Fused per-class submanifold sparse conv as a Mosaic (Pallas TPU) kernel.
+"""Fused submanifold sparse conv as a Mosaic (Pallas TPU) kernel.
 
-Replaces the XLA gather path of ``core.sparse_conv.scan_conv_grouped_classes``
-for the dense head's per-class K^3 convs (reference: the per-class
-MinkowskiConvolution stacks, pcdet/models/dense_heads/cagroup_head.py:183-188
-— the documented 180->400 ms per-class-loop regression, README.md:19).
+Replaces the XLA gather paths of ``core.sparse_conv`` for the dense head's
+per-class K^3 convs (reference: the per-class MinkowskiConvolution stacks,
+pcdet/models/dense_heads/cagroup_head.py:183-188 — the documented
+180->400 ms per-class-loop regression, README.md:19) and the backbone's
+k3 submanifold convs (biresnet.py layer stacks).
 
-The XLA path is HBM-bound: ~7 GB of 128-byte row gathers per k9 conv at
-~38 GB/s effective.  This kernel keeps each class's table VMEM-resident and
-converts every gather into MXU work:
+The XLA path is HBM-bound row gathers at ~38 GB/s effective.  This kernel
+keeps the (per-class) table VMEM-resident and converts every gather into
+MXU work:
 
-1. **compute-then-gather**: per (class, dx, dy) one dense MXU matmul
-   ``FWdz = feats @ W[dx, dy]`` (-> [N, K*Cout], dz-major columns) applies
-   every dz weight slice to every row up front.  Gathering after the
-   linear map is exact, and the matmul is dense.
-2. **one-hot slab matmul**: query keys are the table keys plus a constant
+1. **one-hot slab gathers**: query keys are the table keys plus a constant
    packed offset, so they stay sorted; a 128-query block's matches live in
    a contiguous rank window of the sorted table (bounds precomputed in
    XLA).  Packed keys are z-minor, so the K dz-neighbors of query q are
-   the slab keys equal to tk_q + dz: a stacked equality one-hot
-   E[SLAB, K, 128] contracted with the [SLAB, K*Cout] FW slab on the MXU
-   performs all gathers of the block as ONE matmul, entirely in VMEM.
-   A while-loop walks further slabs in the (rare) case a block's rank
-   window exceeds one slab, so results are exact for any key distribution.
+   the slab keys equal to tk_q + dz: per dz, a key-equality one-hot times
+   the [SLAB, C] feature slab on the MXU performs the block's 128 gathers
+   as one matmul, entirely in VMEM.  A while-loop walks further slabs in
+   the (rare) case a block's rank window exceeds one slab, so results are
+   exact for any key distribution (one-hot adds across passes are disjoint
+   row copies — exact in bf16).
+2. **fused weight apply**: the K gathered [128, C] tiles concatenate to
+   [128, K*C] and one matmul against the (dz-major) [K*C, Cout] weight
+   slice accumulates the output block.  Identical FLOPs to the dense conv;
+   no scratch tensors, so the whole working set is feats + out and the
+   kernel serves tables up to ~32k rows.
 
-Requirements: coordinates sorted by packed key per class with invalid rows
-at the end (what ``core.voxelize.unique_voxels_classes`` produces), stride
-1 (per-class lattice units), N % 128 == 0, N >= SLAB.
+Requirements: coordinates sorted by packed key (per class) with invalid
+rows at the end (what ``core.voxelize.unique_voxels`` family produces),
+N % 128 == 0, N >= SLAB.
 
 Backward pass: exactness of the forward lets us take the VJP of the XLA
-reference implementation (same function, different algorithm).
+reference implementation (same math, different algorithm).
 """
 from __future__ import annotations
 
@@ -43,11 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.hashing import INVALID_KEY, _BITS, _EXTENT, pack_coords
 
 _LANE = 128
-_SLAB = 256
+_SLAB = 192
 
 
-def _conv_kernel(lohi_ref, keys_col_ref, keys_row_ref, feats_ref, w_ref,
-                 out_ref, fw_scr, tk_scr, ztk_scr, *, K, C, Cout, N):
+def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
+                 w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N):
     h = K // 2
     NB = N // _LANE
     invalid = int(INVALID_KEY)
@@ -66,12 +69,6 @@ def _conv_kernel(lohi_ref, keys_col_ref, keys_row_ref, feats_ref, w_ref,
 
     for dy in range(K):
         dyo = dy - h
-        # FWdz = feats @ W[dx, dy]: [N, C] @ [C, K*Cout], dz-major columns
-        fw_scr[:, :] = jax.lax.dot_general(
-            feats_ref[0], w_ref[0, 0, dy],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-
         delta = dxo * (1 << (2 * _BITS)) + dyo * (1 << _BITS)
         ok = valid_q & (xd + dxo >= 0) & (xd + dxo < _EXTENT) & \
             (yd + dyo >= 0) & (yd + dyo < _EXTENT)
@@ -79,8 +76,8 @@ def _conv_kernel(lohi_ref, keys_col_ref, keys_row_ref, feats_ref, w_ref,
         ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
 
         def block(b, _, dy=dy):
-            lo = lohi_ref[0, 0, dy, b, 0]
-            hi = lohi_ref[0, 0, dy, b, 1]
+            lo = lo_ref[0, 0, dy, b]
+            hi = hi_ref[0, 0, dy, b]
             tkb = tk_scr[pl.ds(b, 1), :]              # [1, 128]
             ztkb = ztk_scr[pl.ds(b, 1), :]
             s0 = jnp.clip((lo - 8) & ~7, 0, N - _SLAB).astype(jnp.int32)
@@ -89,7 +86,7 @@ def _conv_kernel(lohi_ref, keys_col_ref, keys_row_ref, feats_ref, w_ref,
                 return jnp.logical_not(c[1])
 
             def body(c):
-                s, _, acc = c
+                s, _, g = c
                 # s is 8-aligned by construction (s0 masked, += SLAB,
                 # min with N-SLAB); Mosaic needs the hint to vector-load
                 s = pl.multiple_of(s, 8)
@@ -97,25 +94,31 @@ def _conv_kernel(lohi_ref, keys_col_ref, keys_row_ref, feats_ref, w_ref,
                 zs = sk & zmask
                 d = sk - tkb                               # [SLAB, 128]
                 zdl = zs - ztkb
-                # per-dz one-hot: genuine z-neighbor iff both the packed
-                # key and the z digit differ by exactly dz (the digit
-                # check rejects borrows across the z field)
-                fw = fw_scr[pl.ds(s, _SLAB), :]            # [SLAB, K*Cout]
-                for dzi, dz in enumerate(range(-h, h + 1)):
+                fs = feats_ref[0, pl.ds(s, _SLAB), :]      # [SLAB, C]
+                # per-dz one-hot gather on the MXU: genuine z-neighbor iff
+                # both the packed key and the z digit differ by exactly dz
+                # (the digit check rejects borrows across the z field)
+                gs = []
+                for dz in range(-h, h + 1):
                     e = ((d == dz) & (zdl == dz)).astype(jnp.bfloat16)
-                    acc = acc + jax.lax.dot_general(
-                        e, fw[:, dzi * Cout:(dzi + 1) * Cout],
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [128, Cout]
+                    gs.append(jax.lax.dot_general(
+                        e, fs, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # [128, C]
+                g = g + jnp.concatenate(gs, axis=1)        # [128, K*C]
                 done = (s + _SLAB > hi) | (s >= N - _SLAB)
                 nxt = jnp.minimum(s + _SLAB, N - _SLAB).astype(jnp.int32)
-                return (nxt, done, acc)
+                return (nxt, done, g)
 
-            _, _, acc = jax.lax.while_loop(
+            _, _, g = jax.lax.while_loop(
                 cond, body,
-                (s0, s0 > hi, jnp.zeros((_LANE, Cout), jnp.float32)))
+                (s0, s0 > hi, jnp.zeros((_LANE, K * C), jnp.float32)))
+            # fused weight apply: [128, K*C] @ [K*C, Cout] (dz-major rows)
+            contrib = jax.lax.dot_general(
+                g.astype(jnp.bfloat16), w_ref[0, 0, dy],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             q = pl.multiple_of(b * _LANE, _LANE)
-            out_ref[0, pl.ds(q, _LANE), :] += acc
+            out_ref[0, pl.ds(q, _LANE), :] += contrib
             return 0
 
         jax.lax.fori_loop(0, NB, block, 0)
@@ -167,26 +170,27 @@ def _rank_bounds(skeys, K):
 
     lo = counts(tmin.reshape(G, Q), strict=True)
     hi = counts(tmax.reshape(G, Q), strict=False) - 1
-    return jnp.stack([lo, hi], axis=-1).reshape(G, K, K, NB, 2)
+    return lo.reshape(G, K, K, NB), hi.reshape(G, K, K, NB)
 
 
-def _pallas_forward(coords, valid, feats, w, kernel_size: int):
+def _pallas_forward(coords, valid, feats, w, kernel_size: int,
+                    stride: int = 1):
     G, N, C = feats.shape
     K = kernel_size
     Cout = w.shape[-1]
     assert N % _LANE == 0 and N >= _SLAB, (N, _SLAB)
     NB = N // _LANE
 
-    skeys = pack_coords(coords, valid)                           # [G, N]
-    lohi = _rank_bounds(skeys, K)
+    lat = jnp.floor_divide(coords, stride) if stride != 1 else coords
+    skeys = pack_coords(lat, valid)                              # [G, N]
+    lo, hi = _rank_bounds(skeys, K)
     keys_col = skeys.reshape(G, N, 1)
     keys_row = skeys.reshape(G, NB, _LANE)
     featsb = jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16)
-    # W [G, K(dx), K(dy), C, K(dz)*Cout]
+    # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]
     w2 = (w.astype(jnp.bfloat16)
           .reshape(G, K, K, K, C, Cout)        # [G, dx, dy, dz, C, O]
-          .transpose(0, 1, 2, 4, 3, 5)         # [G, dx, dy, C, dz, O]
-          .reshape(G, K, K, C, K * Cout))
+          .reshape(G, K, K, K * C, Cout))
 
     kern = functools.partial(_conv_kernel, K=K, C=C, Cout=Cout, N=N)
     interpret = jax.default_backend() != "tpu"
@@ -194,7 +198,9 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int):
         kern,
         grid=(G, K),
         in_specs=[
-            pl.BlockSpec((1, 1, K, NB, 2), lambda g, dx: (g, dx, 0, 0, 0),
+            pl.BlockSpec((1, 1, K, NB), lambda g, dx: (g, dx, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K, NB), lambda g, dx: (g, dx, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N, 1), lambda g, dx: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -202,7 +208,7 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, C), lambda g, dx: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K, C, K * Cout),
+            pl.BlockSpec((1, 1, K, K * C, Cout),
                          lambda g, dx: (g, dx, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -210,32 +216,41 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, N, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N, K * Cout), jnp.bfloat16),
             pltpu.VMEM((NB, _LANE), jnp.int32),
             pltpu.VMEM((NB, _LANE), jnp.int32),
         ],
-        # double-buffered blocks + the FW scratch can exceed the default
-        # 16M scoped-vmem budget when this kernel sits in a large graph
+        # double-buffered blocks can exceed the default 16M scoped-vmem
+        # budget for the larger backbone tables
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(lohi, keys_col, keys_row, featsb, w2)
+    )(lo, hi, keys_col, keys_row, featsb, w2)
     return jnp.where(valid[..., None], out, 0.0)
 
 
-def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int):
-    """Per-class submanifold K^3 conv, MXU-fused forward + XLA-vjp backward.
+def mxu_conv_vmem_bytes(N, C, Cout, K):
+    """Rough VMEM working set of the fused conv (double-buffered blocks)."""
+    return (2 * N * C * 2          # feats bf16, double-buffered
+            + 2 * N * Cout * 4     # out f32, double-buffered
+            + 2 * K * K * C * Cout * 2 * K  # weight block
+            + N * 8 + _LANE * 8 * 4)
 
-    coords i32[G, N, 3] per-class lattice coords SORTED by packed key with
-    invalid rows last (unique_voxels_classes layout); valid [G, N];
-    feats [G, N, C]; w [G, K^3, C, Cout] in conv_offsets order
-    (x-major, z-fastest).  Returns f32[G, N, Cout].
+
+def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
+                          stride: int = 1):
+    """(Per-class) submanifold K^3 conv, MXU-fused forward + XLA-vjp
+    backward.
+
+    coords i32[G, N, 3] lattice coords SORTED by packed key of
+    coords//stride with invalid rows last (unique_voxels* layout);
+    valid [G, N]; feats [G, N, C]; w [G, K^3, Cin, Cout] in conv_offsets
+    order (x-major, z-fastest).  Returns f32[G, N, Cout].
     """
     from ..core.sparse_conv import scan_conv_grouped_classes
 
     @jax.custom_vjp
     def f(coords, valid, feats, w):
-        return _pallas_forward(coords, valid, feats, w, kernel_size)
+        return _pallas_forward(coords, valid, feats, w, kernel_size, stride)
 
     def fwd(coords, valid, feats, w):
         return f(coords, valid, feats, w), (coords, valid, feats, w)
@@ -244,7 +259,7 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int):
         coords, valid, feats, w = res
         _, vjp = jax.vjp(
             lambda fe, we: scan_conv_grouped_classes(
-                coords, valid, fe, 1, kernel_size, we), feats, w)
+                coords, valid, fe, stride, kernel_size, we), feats, w)
         dfe, dwe = vjp(g)
         zc = np.zeros(coords.shape, jax.dtypes.float0)
         zv = np.zeros(valid.shape, jax.dtypes.float0)
@@ -252,3 +267,12 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int):
 
     f.defvjp(fwd, bwd)
     return f(coords, valid, feats, w)
+
+
+def subm_conv_mxu(st_coords, st_valid, st_feats, w, kernel_size: int,
+                  stride: int):
+    """Single-table wrapper (backbone subm convs): adds the class axis."""
+    out = subm_conv_classes_mxu(st_coords[None], st_valid[None],
+                                st_feats[None], w[None], kernel_size,
+                                stride)
+    return out[0]

@@ -318,3 +318,33 @@ def test_unique_voxels_classes_paired_matches_two_calls(rng):
     np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv0))
     np.testing.assert_allclose(np.asarray(cf), np.asarray(cf0), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_generative_up_classes_matches_scan(rng):
+    import jax.numpy as jnp
+    from cagroup3d_tpu.core.kernel_maps import transpose_offsets
+    from cagroup3d_tpu.core.sparse_conv import (generative_up_classes,
+                                                scan_conv_at_classes)
+
+    G, M, N, C = 2, 128, 256, 16
+    src_lat = np.unique(rng.randint(0, 8, (M * 2, 3)), axis=0)[:M]
+    src = np.zeros((G, M, 3), np.int32)
+    sv = np.zeros((G, M), bool)
+    for g in range(G):
+        n = M - 10 * g
+        src[g, :n] = src_lat[:n] * 3            # raw units, stride 3
+        sv[g, :n] = True
+    feats = rng.randn(G, M, C).astype(np.float32)
+    tgt = rng.randint(0, 24, (G, N, 3)).astype(np.int32)
+    tv = rng.rand(G, N) < 0.9
+    w = rng.randn(G, 27, C, C).astype(np.float32) * 0.1
+    offs = transpose_offsets(3, 1)
+    ref = scan_conv_at_classes(jnp.asarray(src), jnp.asarray(sv),
+                               jnp.asarray(feats), 3, jnp.asarray(tgt),
+                               jnp.asarray(tv), offs, jnp.asarray(w))
+    out = generative_up_classes(jnp.asarray(src), jnp.asarray(sv),
+                                jnp.asarray(feats), 3, jnp.asarray(tgt),
+                                jnp.asarray(tv), jnp.asarray(w))
+    err = np.abs(np.asarray(ref) - np.asarray(out)).max() / \
+        (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert err < 2e-2, err
