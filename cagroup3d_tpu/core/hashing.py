@@ -17,14 +17,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# 10 bits per axis.
-_BITS = 10
-_EXTENT = 1 << _BITS  # 1024
+# Per-axis key bits, configurable for large outdoor lattices (e.g. KITTI
+# 1408 x 1600 x 40 needs (11, 11, 8)); defaults fit indoor scenes.  Total
+# must stay <= 30 so INVALID_KEY exceeds every packable key.  z stays the
+# least-significant field (the engine's z-run window tricks rely on
+# key(c + (0,0,dz)) == key(c) + dz).
+_BITS = 10                # compat: z bits under the default config
+_EXTENT = 1 << _BITS
+XBITS, YBITS, ZBITS = 10, 10, 10
 # Small slack for coordinates that go slightly negative (e.g. vote clamping
 # to min_bound - stride in the dense head, cagroup_head.py:211).
 _MARGIN = 8
-# Sentinel key, larger than any packable key (30 bits used).
+# Sentinel key, larger than any packable key (<= 30 bits used).
 INVALID_KEY = jnp.int32((1 << 30) + 1)
+
+
+def set_key_bits(x: int = 10, y: int = 10, z: int = 10) -> None:
+    """Reconfigure per-axis key bits (call before building/tracing models;
+    traced programs bake the values in as constants)."""
+    global XBITS, YBITS, ZBITS
+    assert x + y + z <= 30 and z >= 5, (x, y, z)
+    XBITS, YBITS, ZBITS = x, y, z
+
+
+def key_shifts():
+    return (YBITS + ZBITS, ZBITS)
+
+
+def key_extents():
+    return (1 << XBITS, 1 << YBITS, 1 << ZBITS)
 
 
 def pack_coords(lat: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -34,8 +55,13 @@ def pack_coords(lat: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     units).  Out-of-range coords and invalid rows get INVALID_KEY.
     """
     shifted = lat + _MARGIN
-    in_range = jnp.all((shifted >= 0) & (shifted < _EXTENT), axis=-1)
-    key = (shifted[..., 0] << (2 * _BITS)) | (shifted[..., 1] << _BITS) | shifted[..., 2]
+    ex, ey, ez = key_extents()
+    sx, sy = key_shifts()
+    in_range = (
+        (shifted[..., 0] >= 0) & (shifted[..., 0] < ex) &
+        (shifted[..., 1] >= 0) & (shifted[..., 1] < ey) &
+        (shifted[..., 2] >= 0) & (shifted[..., 2] < ez))
+    key = (shifted[..., 0] << sx) | (shifted[..., 1] << sy) | shifted[..., 2]
     return jnp.where(valid & in_range, key, INVALID_KEY)
 
 
@@ -157,7 +183,7 @@ def lookup_z_window(sorted_keys, row_of_rank, base_lat, base_valid,
     for dz in dz_list:
         tk = qk + dz
         ok = base_valid & (qk != INVALID_KEY) & (zd + dz >= 0) & \
-            (zd + dz < _EXTENT)
+            (zd + dz < key_extents()[2])
         eq = wk == tk[:, None]
         hit = jnp.any(eq, axis=1) & ok
         val = jnp.sum(jnp.where(eq, wv, 0), axis=1)

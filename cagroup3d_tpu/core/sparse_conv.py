@@ -104,7 +104,8 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
     ``compute_dtype`` (bf16 halves the dominant gather traffic);
     accumulation stays f32.
     """
-    from .hashing import INVALID_KEY, _MARGIN, _EXTENT, pack_coords
+    from .hashing import INVALID_KEY, _MARGIN, key_extents, pack_coords
+    _EXTENT = key_extents()[2]
 
     k = kernel_size
     assert k % 2 == 1
@@ -210,7 +211,9 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
     caller), valid [G, N], feats [G, N, C], w [G, K^3, Cin, Cout].
     Returns [G, N, Cout] f32.
     """
-    from .hashing import (INVALID_KEY, _LANE, _MARGIN, _EXTENT, pack_coords)
+    from .hashing import (INVALID_KEY, _LANE, _MARGIN, key_extents,
+                          pack_coords)
+    _EXTENT = key_extents()[2]
 
     G, N, Cin = feats.shape
     k = kernel_size

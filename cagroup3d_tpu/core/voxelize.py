@@ -201,11 +201,12 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     sk, order = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
     # sorted lattice coords by UNPACKING the sorted keys (pure ALU; avoids
     # a 1.2M-row gather of 12-byte rows)
-    from .hashing import _BITS, _EXTENT, _MARGIN
+    from .hashing import _MARGIN, key_extents, key_shifts
+    (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     lat_s = jnp.stack(
-        [(jax.lax.shift_right_logical(sk, 2 * _BITS) & (_EXTENT - 1)),
-         (jax.lax.shift_right_logical(sk, _BITS) & (_EXTENT - 1)),
-         sk & (_EXTENT - 1)], axis=-1) - _MARGIN          # [G, P, 3]
+        [(jax.lax.shift_right_logical(sk, sx) & (ex - 1)),
+         (jax.lax.shift_right_logical(sk, sy) & (ey - 1)),
+         sk & (ez - 1)], axis=-1) - _MARGIN               # [G, P, 3]
     feats_s = jnp.take(feats.astype(jnp.bfloat16), order.reshape(-1),
                        axis=0)                            # [G*P, F] bf16
 

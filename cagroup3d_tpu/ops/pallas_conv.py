@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.hashing import INVALID_KEY, _BITS, _EXTENT, pack_coords
+from ..core.hashing import INVALID_KEY, key_extents, key_shifts, \
+    pack_coords
 
 _LANE = 128
 _SLAB = 192
@@ -54,7 +55,8 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
     h = K // 2
     NB = N // _LANE
     invalid = int(INVALID_KEY)
-    zmask = _EXTENT - 1
+    (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
+    zmask = ez - 1
     dxi = pl.program_id(1)
 
     @pl.when(dxi == 0)
@@ -63,15 +65,15 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
 
     dxo = dxi - h
     keys_row = keys_row_ref[0]                        # [NB, 128]
-    xd = jax.lax.shift_right_logical(keys_row, 2 * _BITS)
-    yd = jax.lax.shift_right_logical(keys_row, _BITS) & zmask
+    xd = jax.lax.shift_right_logical(keys_row, sx)
+    yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
     valid_q = keys_row < invalid
 
     for dy in range(K):
         dyo = dy - h
-        delta = dxo * (1 << (2 * _BITS)) + dyo * (1 << _BITS)
-        ok = valid_q & (xd + dxo >= 0) & (xd + dxo < _EXTENT) & \
-            (yd + dyo >= 0) & (yd + dyo < _EXTENT)
+        delta = dxo * (1 << sx) + dyo * (1 << sy)
+        ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
+            (yd + dyo >= 0) & (yd + dyo < ey)
         tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
         ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
 
@@ -133,17 +135,18 @@ def _rank_bounds(skeys, K):
     G, N = skeys.shape
     NB = N // _LANE
     h = K // 2
+    (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     rows = skeys.reshape(G, NB, _LANE)
-    xd = jax.lax.shift_right_logical(rows, 2 * _BITS)
-    yd = jax.lax.shift_right_logical(rows, _BITS) & (_EXTENT - 1)
+    xd = jax.lax.shift_right_logical(rows, sx)
+    yd = jax.lax.shift_right_logical(rows, sy) & (ey - 1)
     valid = rows < INVALID_KEY
     offs = jnp.arange(K, dtype=jnp.int32) - h                    # [K]
     okx = (xd[:, None] + offs[None, :, None, None] >= 0) & \
-        (xd[:, None] + offs[None, :, None, None] < _EXTENT)     # [G,K,NB,L]
+        (xd[:, None] + offs[None, :, None, None] < ex)          # [G,K,NB,L]
     oky = (yd[:, None] + offs[None, :, None, None] >= 0) & \
-        (yd[:, None] + offs[None, :, None, None] < _EXTENT)
-    delta = (offs[:, None] * (1 << (2 * _BITS)) +
-             offs[None, :] * (1 << _BITS))                       # [K, K]
+        (yd[:, None] + offs[None, :, None, None] < ey)
+    delta = (offs[:, None] * (1 << sx) +
+             offs[None, :] * (1 << sy))                          # [K, K]
     tk = rows[:, None, None] + delta[None, :, :, None, None]
     ok = valid[:, None, None] & okx[:, :, None] & oky[:, None, :]
     big = jnp.int32(2 ** 30 + 2)
