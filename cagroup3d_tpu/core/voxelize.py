@@ -290,3 +290,48 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
         c_valid[..., None],
         c_sum / jnp.maximum(c_cnt, 1)[..., None], 0.0)
     return (f_coords, f_feats, f_valid), (c_coords, c_feats, c_valid)
+
+
+
+def spconv_reduce_lat(lat, valid, kernel, stride, padding, cap: int,
+                      stats: dict = None, stat_name: str = "spconv"):
+    """Output lattice of an spconv-style strided SparseConv3d (spconv
+    semantics, unlike ME's floor-divide: output o exists iff some input
+    lies in its receptive field o*s - p + [0, k)).
+
+    Per input i and axis a the candidate outputs are
+    o in [ceil((i + p - k + 1)/s), floor((i + p)/s)] — for (k=3, s=2,
+    p=1) that is {floor(i/2), floor((i+1)/2)} — so a small static
+    enumeration covers the pool exactly.
+
+    lat i32[N, 3] input lattice; kernel/stride/padding int or triples.
+    Returns (out_lat [cap, 3] in OUTPUT lattice units, out_valid [cap]).
+    """
+    import numpy as np
+    k = np.broadcast_to(np.asarray(kernel), (3,)).astype(int)
+    s = np.broadcast_to(np.asarray(stride), (3,)).astype(int)
+    p = np.broadcast_to(np.asarray(padding), (3,)).astype(int)
+    n_opts = [int(np.floor(pp / ss) - np.ceil((pp - kk + 1) / ss)) + 1
+              for kk, ss, pp in zip(k, s, p)]
+    sj = jnp.asarray(s, jnp.int32)
+    pj = jnp.asarray(p, jnp.int32)
+    kj = jnp.asarray(k, jnp.int32)
+    base = jnp.stack(
+        [(lat[:, a] + int(p[a]) - int(k[a]) + 1 + int(s[a]) - 1)
+         // int(s[a]) for a in range(3)], -1)  # ceil div, first candidate
+    cands, oks = [], []
+    for dx in range(n_opts[0]):
+        for dy in range(n_opts[1]):
+            for dz in range(n_opts[2]):
+                o = base + jnp.asarray([dx, dy, dz], jnp.int32)
+                lo = o * sj - pj
+                okc = jnp.all((lat >= lo) & (lat < lo + kj), axis=-1) & \
+                    jnp.all(o >= 0, axis=-1) & valid
+                cands.append(o)
+                oks.append(okc)
+    lat_c = jnp.concatenate(cands, axis=0)
+    ok_c = jnp.concatenate(oks, axis=0)
+    dummy = jnp.zeros((lat_c.shape[0], 1), jnp.float32)
+    ded, _ = unique_voxels(lat_c, dummy, ok_c, cap, mode="first",
+                           stats=stats, stat_name=stat_name)
+    return ded.coords, ded.valid

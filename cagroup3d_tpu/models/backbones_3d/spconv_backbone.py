@@ -1,0 +1,147 @@
+"""spconv-style sparse backbones (reference
+pcdet/models/backbones_3d/spconv_backbone.py: VoxelBackBone8x :70,
+VoxelResBackBone8x :190) over the TPU engine.
+
+Design: every level's SparseTensor keeps coords in its OWN lattice units
+(stride-1 semantics), which makes anisotropic strides (the (3,1,1)/(2,1,1)
+z-compression of conv_out) first-class: a strided transition computes the
+output lattice with spconv coordinate semantics (core/voxelize.
+spconv_reduce_lat) and evaluates the conv via scan_conv with targets
+pre-scaled by the stride (q = o*s - p + j).  Submanifold convs then run
+at stride 1 per level (MXU kernel eligible).
+
+Returns the final sparse level plus per-level tensors and downsample
+factors for HeightCompression / PFE consumers.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...core.module import Ctx, Params, init_bn, init_conv
+from ...core.sparse import SparseTensor
+from ...core.sparse_conv import scan_conv
+from ...core.voxelize import spconv_reduce_lat
+from ..layers import act, bn, subm
+
+DEFAULT_CAPS = {1: 65536, 2: 32768, 4: 16384, 8: 8192}
+
+
+def _triple(v):
+    return tuple(np.broadcast_to(np.asarray(v), (3,)).astype(int))
+
+
+def spconv_down(P, S, ctx: Ctx, path: str, st: SparseTensor, k, s, p,
+                cap: int) -> SparseTensor:
+    """Strided SparseConv3d + BN + ReLU with spconv coordinate semantics.
+    st.coords are the input's lattice units (stride 1)."""
+    kk, ss, pp = _triple(k), _triple(s), _triple(p)
+    out_lat, out_valid = spconv_reduce_lat(
+        st.coords, st.valid, kk, ss, pp, cap,
+        stats=getattr(ctx, "stats", None), stat_name=f"spconv/{path}")
+    offs = np.array([[a, b, c] for a in range(kk[0]) for b in range(kk[1])
+                     for c in range(kk[2])], np.int32)
+    tgt_scaled = out_lat * jnp.asarray(ss, jnp.int32) - \
+        jnp.asarray(pp, jnp.int32)
+    f = scan_conv(st.coords, st.valid, st.masked_feats(), 1, tgt_scaled,
+                  out_valid, offs, P[path + ".kernel"])
+    out = SparseTensor(out_lat, f, out_valid, 1)
+    return out
+
+
+class VoxelBackBone8x:
+    """VoxelBackBone8x (spconv_backbone.py:70): subm stem, three
+    (spconv s2 + 2 subm) stages, z-compressing conv_out."""
+
+    def __init__(self, model_cfg, input_channels: int = 4, grid_size=None,
+                 **kwargs):
+        self.model_cfg = model_cfg
+        self.in_ch = int(model_cfg.get("IN_CHANNELS", input_channels))
+        caps = model_cfg.get("CAPS", None)
+        self.caps = dict(DEFAULT_CAPS)
+        if caps:
+            self.caps.update({int(kk): int(v) for kk, v in dict(caps).items()})
+        self.num_point_features = 128
+        self.backbone_channels = {"x_conv1": 16, "x_conv2": 32,
+                                  "x_conv3": 64, "x_conv4": 64}
+
+    def init(self, rng, prefix: str = "backbone_3d") -> Tuple[Params, Params]:
+        P: Params = {}
+        S: Params = {}
+        r = list(jax.random.split(rng, 16))
+        pre = prefix
+
+        def blk(i, path, k, cin, cout):
+            init_conv(P, r[i], path + ".0", k, cin, cout, init="kaiming")
+            init_bn(P, S, path + ".1", cout)
+
+        blk(0, pre + ".conv_input", 3, self.in_ch, 16)
+        blk(1, pre + ".conv1.0", 3, 16, 16)
+        blk(2, pre + ".conv2.0", 3, 16, 32)     # spconv s2
+        blk(3, pre + ".conv2.1", 3, 32, 32)
+        blk(4, pre + ".conv2.2", 3, 32, 32)
+        blk(5, pre + ".conv3.0", 3, 32, 64)     # spconv s2
+        blk(6, pre + ".conv3.1", 3, 64, 64)
+        blk(7, pre + ".conv3.2", 3, 64, 64)
+        blk(8, pre + ".conv4.0", 3, 64, 64)     # spconv s2 pad (0,1,1)
+        blk(9, pre + ".conv4.1", 3, 64, 64)
+        blk(10, pre + ".conv4.2", 3, 64, 64)
+        # conv_out: kernel (3,1,1) stride (2,1,1): 3 kernel positions
+        from ...core.module import kaiming_conv
+        P[pre + ".conv_out.0.kernel"] = kaiming_conv(r[11], 3, 64, 128)
+        init_bn(P, S, pre + ".conv_out.1", 128)
+        return P, S
+
+    def _bn_relu(self, P, S, ctx, path, st, momentum=0.01, eps=1e-3):
+        from ...core.module import apply_bn
+        f = apply_bn(P, S, ctx, path, st.feats, st.valid,
+                     momentum=momentum, eps=eps)
+        return st.with_feats(jnp.where(st.valid[:, None],
+                                       jnp.maximum(f, 0.0), 0.0))
+
+    def __call__(self, P, S, ctx: Ctx, st: SparseTensor,
+                 prefix: str = "backbone_3d") -> Dict:
+        """st: stride-1 voxel tensor (lattice units).  Returns dict with
+        the final (z-compressed) level and per-level tensors."""
+        pre = prefix
+        caps = self.caps
+        x = self._bn_relu(P, S, ctx, pre + ".conv_input.1",
+                          subm(P, ctx, pre + ".conv_input.0", st, 3))
+        x1 = self._bn_relu(P, S, ctx, pre + ".conv1.0.1",
+                           subm(P, ctx, pre + ".conv1.0.0", x, 3))
+
+        def stage(xin, path, cap, pad=1, n_subm=2):
+            y = spconv_down(P, S, ctx, f"{pre}.{path}.0.0", xin, 3, 2,
+                            pad, cap)
+            y = self._bn_relu(P, S, ctx, f"{pre}.{path}.0.1", y)
+            for i in range(1, n_subm + 1):
+                y = self._bn_relu(P, S, ctx, f"{pre}.{path}.{i}.1",
+                                  subm(P, ctx, f"{pre}.{path}.{i}.0", y, 3))
+            return y
+
+        x2 = stage(x1, "conv2", caps[2], pad=1)
+        x3 = stage(x2, "conv3", caps[4], pad=1)
+        # reference pad (0,1,1) is spconv (z,y,x) order -> ours (x,y,z)
+        x4 = stage(x3, "conv4", caps[8], pad=(1, 1, 0))
+
+        # conv_out: spconv kernel (3,1,1)/stride (2,1,1) in (z,y,x)
+        # order -> z is the compressed axis in our (x,y,z) coords
+        out_lat, out_valid = spconv_reduce_lat(
+            x4.coords, x4.valid, (1, 1, 3), (1, 1, 2), 0, caps[8],
+            stats=getattr(ctx, "stats", None), stat_name="spconv/out")
+        offs = np.array([[0, 0, a] for a in range(3)], np.int32)
+        tgt_scaled = out_lat * jnp.asarray([1, 1, 2], jnp.int32)
+        f = scan_conv(x4.coords, x4.valid, x4.masked_feats(), 1,
+                      tgt_scaled, out_valid,
+                      offs, P[pre + ".conv_out.0.kernel"])
+        out = SparseTensor(out_lat, f, out_valid, 1)
+        out = self._bn_relu(P, S, ctx, pre + ".conv_out.1", out)
+        return dict(encoded_spconv_tensor=out,
+                    encoded_spconv_tensor_stride=8,
+                    multi_scale_3d_features=dict(
+                        x_conv1=x1, x_conv2=x2, x_conv3=x3, x_conv4=x4),
+                    multi_scale_3d_strides=dict(
+                        x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8))

@@ -1,9 +1,12 @@
 from .cagroup3d import CAGroup3D
 from .rbgnet import RBGNet
+from .second_net import PointPillar, SECONDNet
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
     "RBGNet": RBGNet,
+    "SECONDNet": SECONDNet,
+    "PointPillar": PointPillar,
 }
 
 

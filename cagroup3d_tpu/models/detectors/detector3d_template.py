@@ -42,7 +42,14 @@ class Detector3DTemplate:
         return self.model_cfg.get(key, None)
 
     def build_vfe(self):
-        return None  # indoor models voxelize on-device (cagroup3d.py)
+        cfg = self._cfg("VFE")
+        if cfg is None:
+            return None  # indoor models voxelize on-device (cagroup3d.py)
+        from ..backbones_3d.vfe import MeanVFE, PillarVFE
+        reg = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE}
+        return reg[cfg.NAME](cfg,
+                             num_point_features=int(cfg.get(
+                                 "NUM_POINT_FEATURES", 4)))
 
     def build_backbone_3d(self):
         cfg = self._cfg("BACKBONE_3D")
@@ -52,20 +59,31 @@ class Detector3DTemplate:
         return registry[cfg.NAME](cfg)
 
     def build_map_to_bev_module(self):
-        return None
+        cfg = self._cfg("MAP_TO_BEV")
+        if cfg is None:
+            return None
+        from ..backbones_2d import __all__ as registry
+        return registry[cfg.NAME](cfg)
 
     def build_pfe(self):
         return None
 
     def build_backbone_2d(self):
-        return None
+        cfg = self._cfg("BACKBONE_2D")
+        if cfg is None:
+            return None
+        from ..backbones_2d import __all__ as registry
+        return registry[cfg.NAME](cfg)
 
     def build_dense_head(self):
         cfg = self._cfg("DENSE_HEAD")
         if cfg is None:
             return None
         from ..dense_heads import __all__ as registry
-        return registry[cfg.NAME](cfg)
+        return registry[cfg.NAME](
+            cfg, num_class=self.num_class, class_names=self.class_names,
+            grid_size=getattr(self, "grid_size", None),
+            point_cloud_range=getattr(self, "point_cloud_range", None))
 
     def build_point_head(self):
         cfg = self._cfg("POINT_HEAD")

@@ -1,0 +1,122 @@
+"""SECOND and PointPillar detectors (reference pcdet/models/detectors/
+second_net.py, pointpillar.py): VFE -> sparse/pillar backbone -> dense
+BEV -> anchor head.  Whole-batch forward is one jittable function
+(per-scene work vmapped)."""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...core.module import Ctx, Params
+from .detector3d_template import Detector3DTemplate
+
+
+class SECONDNet(Detector3DTemplate):
+    def __init__(self, model_cfg, num_class: int, dataset=None):
+        super().__init__(model_cfg=model_cfg, num_class=num_class,
+                         dataset=dataset)
+        self.point_cloud_range = [float(x) for x in
+                                  model_cfg.POINT_CLOUD_RANGE]
+        self.voxel_size = [float(x) for x in model_cfg.VOXEL_SIZE]
+        r = self.point_cloud_range
+        self.grid_size = [
+            int(round((r[3 + i] - r[i]) / self.voxel_size[i]))
+            for i in range(3)]
+        self.input_cap = int(model_cfg.get("INPUT_CAP", 65536))
+        self.module_list = self.build_networks()
+        if self.class_names is None:
+            self.class_names = [a["class_name"] for a in
+                                model_cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG]
+
+    def init(self, rng) -> Tuple[Params, Params]:
+        P, S = {}, {}
+        rngs = jax.random.split(rng, 4)
+        mods = [(self.vfe, "vfe"),
+                (getattr(self, "backbone_3d", None), "backbone_3d"),
+                (self.backbone_2d, "backbone_2d"),
+                (self.dense_head, "dense_head")]
+        for (m, pre), r in zip(mods, rngs):
+            if m is None:
+                continue
+            p, s = m.init(r, pre)
+            P.update(p)
+            S.update(s)
+        return P, S
+
+    # ------------------------------------------------------------------
+    def _final_grid(self):
+        """(W, H, D) of the final sparse level fed to HeightCompression."""
+        gx, gy, gz = self.grid_size
+        if self.model_cfg.MAP_TO_BEV.NAME == "PointPillarScatter":
+            return (gx, gy, 1)
+        # VoxelBackBone8x: /8 in x/y; z: two k3s2p1 downs, one k3s2p0
+        # (conv4's reference pad (0,1,1) is z-pad 0), then the (z k3 s2
+        # p0) compression of conv_out
+        z = gz
+        for _ in range(2):
+            z = (z + 2 * 1 - 3) // 2 + 1
+        z = (z - 3) // 2 + 1
+        z = (z - 3) // 2 + 1
+        return (gx // 8, gy // 8, z)
+
+    def _scene(self, P, S, train, points, pvalid, rng, axis_name="scene"):
+        ctx = Ctx(train=train, axis_name=axis_name, rng=rng)
+        st = self.vfe(P, S, ctx, points, pvalid, self.voxel_size,
+                      self.point_cloud_range, self.input_cap)
+        if getattr(self, "backbone_3d", None) is not None:
+            bb = self.backbone_3d(P, S, ctx, st)
+            final = bb["encoded_spconv_tensor"]
+        else:
+            final = st
+        bev = self.map_to_bev_module(P, S, ctx, final, self._final_grid())
+        bev2d = self.backbone_2d(P, S, ctx, bev)
+        out = self.dense_head.forward(P, S, ctx, bev2d)
+        return ctx, out
+
+    def forward_train(self, P, S, batch: Dict, rng, cur_epoch=None):
+        B = batch["points"].shape[0]
+        rngs = jax.random.split(rng, B)
+
+        def scene(points, pvalid, r):
+            ctx, out = self._scene(P, S, True, points, pvalid, r)
+            return out, ctx.updates, ctx.stats
+
+        outs, updates, stats = jax.vmap(scene, axis_name="scene")(
+            batch["points"], batch["points_valid"], rngs)
+        loss, tb = self.dense_head.loss(
+            outs, batch["gt_boxes"][..., :7],
+            batch["gt_boxes"][..., 7].astype(jnp.int32),
+            batch["gt_valid"])
+        for k, v in stats.items():
+            tb[k] = jnp.sum(v).astype(jnp.float32)
+        tb["loss_all"] = loss
+        state_updates = {k: v[0] for k, v in updates.items()}
+        return loss, tb, state_updates
+
+    def forward_eval(self, P, S, batch: Dict, cur_epoch=None) -> Dict:
+        B = batch["points"].shape[0]
+        rngs = jax.random.split(jax.random.PRNGKey(0), B)
+
+        def scene(points, pvalid, r, axis_name="scene"):
+            ctx, out = self._scene(P, S, False, points, pvalid, r,
+                                   axis_name=axis_name)
+            boxes, scores, labels, valid = \
+                self.dense_head.generate_predicted_boxes(out)
+            return dict(pred_boxes=boxes, pred_scores=scores,
+                        pred_labels=labels, pred_valid=valid)
+
+        if B == 1:
+            out = scene(batch["points"][0], batch["points_valid"][0],
+                        rngs[0], axis_name=None)
+            return {k: v[None] for k, v in out.items()}
+        return jax.vmap(scene, axis_name="scene")(
+            batch["points"], batch["points_valid"], rngs)
+
+
+class PointPillar(SECONDNet):
+    """pointpillar.py: identical pipeline with PillarVFE +
+    PointPillarScatter (no 3D backbone)."""
+    pass

@@ -66,13 +66,17 @@ def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
     return out
 
 
-_MXU_VMEM_BUDGET = 36 * 1024 * 1024
+# under vmap (batched training) Pallas blocks grow by the batch factor,
+# so the budget must leave headroom: 26M keeps the stride>=2 backbone
+# tables (N*C <= 2M) and excludes the stride-1 stem
+_MXU_VMEM_BUDGET = 26 * 1024 * 1024
 
 
-def _use_mxu(st: SparseTensor, k: int, cout: int) -> bool:
+def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
     import jax
     from ..ops.pallas_conv import mxu_conv_vmem_bytes
-    return (jax.default_backend() == "tpu" and k % 2 == 1
+    return (jax.default_backend() == "tpu" and not ctx.train
+            and k % 2 == 1
             and st.cap % 128 == 0 and st.cap >= 192
             and mxu_conv_vmem_bytes(st.cap, st.num_channels, cout, k)
             <= _MXU_VMEM_BUDGET)
@@ -87,7 +91,7 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
             f = f + b
         return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
     w = params[path + ".kernel"]
-    if _use_mxu(st, k, w.shape[-1]):
+    if _use_mxu(st, ctx, k, w.shape[-1]):
         # MXU-fused one-hot slab kernel (ops/pallas_conv.py); the
         # coordinate sets come from unique_voxels and are key-sorted
         from ..ops.pallas_conv import subm_conv_mxu
