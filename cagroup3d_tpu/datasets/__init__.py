@@ -18,10 +18,13 @@ from .scannet_dataset import ScannetDataset
 from .sunrgbd_dataset import SunrgbdDataset
 from .indoor_eval import indoor_eval
 
+from .kitti_dataset import KittiDataset
+
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
     "ScannetDataset": ScannetDataset,
     "SunrgbdDataset": SunrgbdDataset,
+    "KittiDataset": KittiDataset,
 }
 
 

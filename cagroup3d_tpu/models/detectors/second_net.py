@@ -18,13 +18,36 @@ class SECONDNet(Detector3DTemplate):
     def __init__(self, model_cfg, num_class: int, dataset=None):
         super().__init__(model_cfg=model_cfg, num_class=num_class,
                          dataset=dataset)
-        self.point_cloud_range = [float(x) for x in
-                                  model_cfg.POINT_CLOUD_RANGE]
-        self.voxel_size = [float(x) for x in model_cfg.VOXEL_SIZE]
+        # range/voxel size: model cfg override, else the dataset's
+        # (reference reads grid_size from the dataset pipeline)
+        pcr = model_cfg.get("POINT_CLOUD_RANGE", None)
+        if pcr is None and dataset is not None:
+            pcr = list(dataset.point_cloud_range)
+        vs = model_cfg.get("VOXEL_SIZE", None)
+        if vs is None and dataset is not None:
+            for proc in dataset.dataset_cfg.get("DATA_PROCESSOR", []):
+                if proc.get("NAME") == "transform_points_to_voxels":
+                    vs = list(proc["VOXEL_SIZE"])
+        self.point_cloud_range = [float(x) for x in pcr]
+        self.voxel_size = [float(x) for x in vs]
         r = self.point_cloud_range
         self.grid_size = [
             int(round((r[3 + i] - r[i]) / self.voxel_size[i]))
             for i in range(3)]
+        # outdoor lattices exceed the default 10-bit/axis key packing
+        # (KITTI: 1408 x 1600 x 40); widen per-axis bits to fit
+        import math
+        from ...core import hashing
+        need = [math.ceil(math.log2(g + 2 * hashing._MARGIN))
+                for g in self.grid_size]
+        cur = (hashing.XBITS, hashing.YBITS, hashing.ZBITS)
+        bits = [max(n, c) for n, c in zip(need, cur)]
+        if tuple(bits) != cur:
+            # widen only; if that busts the 30-bit budget, shrink z to
+            # what this grid actually needs (z lattices are shallow)
+            if sum(bits) > 30:
+                bits[2] = max(need[2], 30 - bits[0] - bits[1])
+            hashing.set_key_bits(*bits)
         self.input_cap = int(model_cfg.get("INPUT_CAP", 65536))
         self.module_list = self.build_networks()
         if self.class_names is None:
