@@ -51,7 +51,7 @@ def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         return acc, None
 
     acc0 = jnp.zeros((n_out, cout), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0, (w, nbr))
+    out, _ = jax.lax.scan(jax.checkpoint(step), acc0, (w, nbr))
     if bias is not None:
         out = out + bias
     return out
@@ -85,7 +85,7 @@ def scan_conv(src_coords: jnp.ndarray, src_valid: jnp.ndarray,
         return acc + jnp.dot(f, w_k, preferred_element_type=jnp.float32), None
 
     acc0 = jnp.zeros((tgt_coords.shape[0], w.shape[-1]), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0, (offs, w))
+    out, _ = jax.lax.scan(jax.checkpoint(step), acc0, (offs, w))
     if bias is not None:
         out = out + bias
     return jnp.where(tgt_valid[:, None], out, 0.0)
@@ -176,7 +176,7 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
         return acc, None
 
     acc0 = jnp.zeros((N, cout), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0,
+    out, _ = jax.lax.scan(jax.checkpoint(step), acc0,
                           jnp.arange(-h, h + 1, dtype=jnp.int32))
     if bias is not None:
         out = out + bias
@@ -285,7 +285,7 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
         return acc, None
 
     acc0 = jnp.zeros((G, N, cout), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0,
+    out, _ = jax.lax.scan(jax.checkpoint(step), acc0,
                           jnp.arange(-h, h + 1, dtype=jnp.int32))
     return jnp.where(valid[..., None], out, 0.0)
 
@@ -342,7 +342,8 @@ def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
         return acc, None
 
     acc0 = jnp.zeros((G, N, cout), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0, (offs, jnp.swapaxes(wc, 0, 1)))
+    out, _ = jax.lax.scan(jax.checkpoint(step), acc0,
+                          (offs, jnp.swapaxes(wc, 0, 1)))
     return jnp.where(tgt_valid[..., None], out, 0.0)
 
 

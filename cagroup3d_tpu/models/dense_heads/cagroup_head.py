@@ -256,10 +256,11 @@ class CAGroup3DHead:
         # 27-offset scan collapses to one lookup + one-hot weights
         if self.expand == 3:
             from ...core.sparse_conv import generative_up_classes
-            up_out = generative_up_classes(
-                coarse.coords * self.expand, coarse.valid, e_out,
-                self.expand, fine.coords, fine.valid,
-                P[pre + ".cls_individual_up.0.kernel"])
+            up_out = jax.checkpoint(
+                lambda ef, w: generative_up_classes(
+                    coarse.coords * self.expand, coarse.valid, ef,
+                    self.expand, fine.coords, fine.valid, w))(
+                e_out, P[pre + ".cls_individual_up.0.kernel"])
         else:
             k_up = transpose_offsets(3, 1)
             up_out = scan_conv_at_classes(

@@ -75,6 +75,9 @@ class CAGroup3D(Detector3DTemplate):
                        pvalid, sem_thr, rng, axis_name="scene"):
         """Single scene forward up to one-stage proposals."""
         ctx = Ctx(train=train, axis_name=axis_name, rng=rng)
+        # opt-in: MXU conv kernels during training (vmapped Pallas blocks
+        # grow with the per-device batch; safe for B <= 2)
+        ctx.mxu_train = bool(self.model_cfg.get("MXU_TRAIN", False))
         st, origin, pts_norm = self._voxelize_scene(points, pvalid,
                                                     stats=ctx.stats)
         feat = self.backbone_3d(P, S, ctx, st)

@@ -24,10 +24,27 @@ from ..core.sparse_conv import gather_gemm as _gather_gemm
 from ..core.voxelize import stride_reduce_coords
 
 
-def gather_gemm(feats, nbr, w, bias=None):
-    """Backbone conv gathers run in bf16 (f32 accumulation): the row
-    gathers are HBM-bound and bf16 halves their traffic."""
+import jax as _jax
+
+
+@_jax.checkpoint
+def _gather_gemm_remat(feats, nbr, w, bias):
     return _gather_gemm(feats, nbr, w, bias, compute_dtype=jnp.bfloat16)
+
+
+@_jax.checkpoint
+def _gather_gemm_remat_nobias(feats, nbr, w):
+    return _gather_gemm(feats, nbr, w, None, compute_dtype=jnp.bfloat16)
+
+
+def gather_gemm(feats, nbr, w, bias=None):
+    """Backbone conv gathers run in bf16 (f32 accumulation) and are
+    REMATERIALIZED: without jax.checkpoint the scan saves every gathered
+    [N, Cin] step as a residual (~gigabytes across the backbone), which
+    OOMs HBM for full-size training."""
+    if bias is None:
+        return _gather_gemm_remat_nobias(feats, nbr, w)
+    return _gather_gemm_remat(feats, nbr, w, bias)
 
 
 def _cached(ctx: Ctx, key, fn):
@@ -75,7 +92,8 @@ _MXU_VMEM_BUDGET = 26 * 1024 * 1024
 def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
     import jax
     from ..ops.pallas_conv import mxu_conv_vmem_bytes
-    return (jax.default_backend() == "tpu" and not ctx.train
+    return (jax.default_backend() == "tpu"
+            and (not ctx.train or getattr(ctx, "mxu_train", False))
             and k % 2 == 1
             and st.cap % 128 == 0 and st.cap >= 192
             and mxu_conv_vmem_bytes(st.cap, st.num_channels, cout, k)
