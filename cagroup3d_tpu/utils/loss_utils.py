@@ -149,3 +149,73 @@ def axis_aligned_iou_loss(corners_pred, corners_tgt, weight=None):
     if weight is not None:
         loss = loss * weight
     return jnp.sum(loss)
+
+
+def weighted_l1(pred, target, weights=None, code_weights=None):
+    """WeightedL1Loss (loss_utils.py:140): elementwise |diff|, optional
+    code/anchor weights, nan-target guard."""
+    target = jnp.where(jnp.isnan(target), pred, target)
+    diff = pred - target
+    if code_weights is not None:
+        diff = diff * jnp.asarray(code_weights)[None, :]
+    loss = jnp.abs(diff)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
+def weighted_cross_entropy(pred, target_onehot, weights=None):
+    """WeightedCrossEntropyLoss (loss_utils.py:182): softmax CE against
+    one-hot targets with per-anchor weights."""
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    loss = -jnp.sum(target_onehot * logp, axis=-1)
+    if weights is not None:
+        loss = loss * weights
+    return loss
+
+
+def _corners_lidar(boxes7):
+    """8 corners of (x, y, z_center, dx, dy, dz, heading) boxes."""
+    t = jnp.asarray([[1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+                     [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1]],
+                    jnp.float32) * 0.5
+    local = t[None] * boxes7[:, None, 3:6]
+    c, s = jnp.cos(boxes7[:, 6]), jnp.sin(boxes7[:, 6])
+    x = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+    y = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+    rot = jnp.stack([x, y, local[..., 2]], -1)
+    return rot + boxes7[:, None, :3]
+
+
+def get_corner_loss_lidar(pred7, gt7, beta: float = 1.0):
+    """Corner loss (loss_utils.py:210): min over the flipped-heading GT of
+    the mean smooth-L1 corner distance.  Returns [N]."""
+    pc = _corners_lidar(pred7)
+    gc = _corners_lidar(gt7)
+    gt_flip = gt7.at[:, 6].add(jnp.pi)
+    gcf = _corners_lidar(gt_flip)
+    d = jnp.minimum(jnp.linalg.norm(pc - gc, axis=-1),
+                    jnp.linalg.norm(pc - gcf, axis=-1))     # [N, 8]
+    loss = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+    return jnp.mean(loss, axis=1)
+
+
+def focal_loss_centernet(pred, gt, mask=None):
+    """CornerNet/CenterNet penalty-reduced focal loss
+    (loss_utils.py:265-313).  pred in (0, 1); gt gaussian heatmap."""
+    eps = 1e-6
+    pred = jnp.clip(pred, eps, 1.0 - eps)
+    pos = (gt >= 1.0).astype(pred.dtype)
+    neg = (gt < 1.0).astype(pred.dtype)
+    neg_w = jnp.power(1.0 - gt, 4)
+    pos_loss = jnp.log(pred) * jnp.power(1.0 - pred, 2) * pos
+    neg_loss = jnp.log(1.0 - pred) * jnp.power(pred, 2) * neg_w * neg
+    if mask is not None:
+        pos_loss = pos_loss * mask
+        neg_loss = neg_loss * mask
+    n_pos = jnp.sum(pos)
+    s = -(jnp.sum(pos_loss) + jnp.sum(neg_loss))
+    return jnp.where(n_pos > 0,
+                     (-(jnp.sum(pos_loss) + jnp.sum(neg_loss))) /
+                     jnp.maximum(n_pos, 1.0),
+                     -jnp.sum(neg_loss))

@@ -2,6 +2,7 @@
 oracles (reference pcdet/ops/{roiaware_pool3d,roipoint_pool3d,
 pointnet2/pointnet2_stack})."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cagroup3d_tpu.core.roi_pools import (points_in_boxes, roiaware_pool3d,
@@ -121,3 +122,40 @@ def test_voxel_query(rng):
                                      -1)
                     assert rows[m, k] == want, (m, k)
                 k += 1
+
+
+def test_corner_loss_and_weighted_losses(rng):
+    import jax.numpy as jnp
+    from cagroup3d_tpu.utils import loss_utils as L
+
+    boxes = np.zeros((4, 7), np.float32)
+    boxes[:, 3:6] = 1.0
+    pred = boxes.copy()
+    pred[:, 0] += 0.1
+    cl = np.asarray(L.get_corner_loss_lidar(jnp.asarray(pred),
+                                            jnp.asarray(boxes)))
+    assert (cl > 0).all() and (cl < 0.1).all()
+    # heading flip invariance: gt rotated by pi gives the same loss
+    flip = boxes.copy()
+    flip[:, 6] += np.pi
+    cl2 = np.asarray(L.get_corner_loss_lidar(jnp.asarray(pred),
+                                             jnp.asarray(flip)))
+    np.testing.assert_allclose(cl, cl2, atol=1e-5)
+
+    p = jnp.asarray(rng.randn(6, 3).astype(np.float32))
+    t = jax.nn.one_hot(jnp.asarray([0, 1, 2, 0, 1, 2]), 3)
+    w = jnp.ones(6)
+    ce = np.asarray(L.weighted_cross_entropy(p, t, w))
+    ref = -np.asarray(jax.nn.log_softmax(p))[np.arange(6),
+                                             [0, 1, 2, 0, 1, 2]]
+    np.testing.assert_allclose(ce, ref, rtol=1e-5)
+
+    l1 = np.asarray(L.weighted_l1(p, p * 0, code_weights=[1.0, 2.0, 0.5]))
+    np.testing.assert_allclose(
+        l1, np.abs(np.asarray(p)) * np.array([1.0, 2.0, 0.5]), rtol=1e-5)
+
+    heat = jnp.zeros((8, 8)).at[4, 4].set(1.0).at[3, 4].set(0.6)
+    predh = jnp.full((8, 8), 0.1).at[4, 4].set(0.9)
+    fl = float(L.focal_loss_centernet(predh, heat))
+    assert np.isfinite(fl) and fl > 0
+
