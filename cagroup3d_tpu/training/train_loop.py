@@ -30,15 +30,38 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
+def make_scanned_step(train_step, k: int):
+    """Run k optimizer steps in ONE dispatch (lax.scan over stacked
+    batches): through a remote-TPU tunnel, per-step output-handle round
+    trips dominate wall time (~10x at full size); scanning amortizes
+    them (measured 45 s/step dispatched -> 3.6 s/step device-bound)."""
+
+    def scanned(params, state, opt_state, batches, rngs, epoch):
+        def one(carry, xs):
+            p, s, o = carry
+            b, r = xs
+            p, s, o, loss, tb = train_step(p, s, o, b, r, epoch)
+            return (p, s, o), (loss, tb)
+        (p, s, o), (losses, tbs) = jax.lax.scan(
+            one, (params, state, opt_state), (batches, rngs))
+        return p, s, o, losses[-1], {kk: v[-1] for kk, v in tbs.items()}
+
+    return jax.jit(scanned)
+
+
 def train_model(model, tx, schedule, train_step, params, state, opt_state,
                 train_loader, total_epochs: int, ckpt_dir: str,
                 logger, start_epoch: int = 0, start_it: int = 0,
                 max_ckpt_save_num: int = 5, log_interval: int = 50,
-                rng=None, metrics_path=None):
+                rng=None, metrics_path=None, steps_per_dispatch: int = 1):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     it = start_it
     metrics = MetricsWriter(metrics_path)
     log_buffer = LogBuffer()
+    k_scan = max(int(steps_per_dispatch), 1)
+    scanned_step = make_scanned_step(train_step, k_scan) if k_scan > 1 \
+        else None
+    pending = []
     for epoch in range(start_epoch, total_epochs):
         train_loader.set_epoch(epoch)
         data_meter, batch_meter = AverageMeter(), AverageMeter()
@@ -48,9 +71,23 @@ def train_model(model, tx, schedule, train_step, params, state, opt_state,
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()
                      if k != "frame_id"}
             rng, sub = jax.random.split(rng)
-            params, state, opt_state, loss, tb = train_step(
-                params, state, opt_state, batch, sub, jnp.float32(epoch))
-            it += 1
+            if scanned_step is not None:
+                pending.append((batch, sub))
+                if len(pending) < k_scan:
+                    t_end = time.time()
+                    continue
+                batches = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *[b for b, _ in pending])
+                rngs = jnp.stack([r for _, r in pending])
+                pending = []
+                params, state, opt_state, loss, tb = scanned_step(
+                    params, state, opt_state, batches, rngs,
+                    jnp.float32(epoch))
+                it += k_scan
+            else:
+                params, state, opt_state, loss, tb = train_step(
+                    params, state, opt_state, batch, sub, jnp.float32(epoch))
+                it += 1
             batch_time = time.time() - t_end
             t_end = time.time()
             data_meter.update(data_time)

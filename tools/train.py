@@ -27,6 +27,10 @@ def parse_config():
     parser.add_argument("--fix_random_seed", action="store_true",
                         default=True)
     parser.add_argument("--max_ckpt_save_num", type=int, default=5)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps per device dispatch "
+                             "(lax.scan; amortizes host round trips "
+                             "through remote-TPU tunnels)")
     parser.add_argument("--dist", action="store_true", default=False,
                         help="multi-host: call jax.distributed.initialize")
     parser.add_argument("--workers", type=int, default=4)
@@ -110,7 +114,8 @@ def main():
                     opt_state, train_loader, epochs, str(ckpt_dir), logger,
                     start_epoch=start_epoch, start_it=start_it,
                     max_ckpt_save_num=args.max_ckpt_save_num,
-                    metrics_path=str(output_dir / "metrics.jsonl"))
+                    metrics_path=str(output_dir / "metrics.jsonl"),
+                    steps_per_dispatch=args.steps_per_dispatch)
     logger.info("**********************End training**********************")
 
 
