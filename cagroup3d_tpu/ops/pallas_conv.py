@@ -52,78 +52,85 @@ _SLAB = 192
 
 def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                  w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N):
+    """Grid is (G,) ONLY, with the dx offset scanned inside the kernel:
+    vmap prepends batch grid dimensions, so any pl.program_id(i) use for
+    semantics would silently read the wrong axis under batching (the
+    round-2 NaN bug).  This body never touches program_id; batching just
+    adds leading index_map dims."""
     h = K // 2
     NB = N // _LANE
     invalid = int(INVALID_KEY)
     (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     zmask = ez - 1
-    dxi = pl.program_id(1)
 
-    @pl.when(dxi == 0)
-    def _prologue():
-        out_ref[0] = jnp.zeros((N, Cout), jnp.float32)
-
-    dxo = dxi - h
+    out_ref[0] = jnp.zeros((N, Cout), jnp.float32)
     keys_row = keys_row_ref[0]                        # [NB, 128]
     xd = jax.lax.shift_right_logical(keys_row, sx)
     yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
     valid_q = keys_row < invalid
 
-    for dy in range(K):
-        dyo = dy - h
-        delta = dxo * (1 << sx) + dyo * (1 << sy)
-        ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
-            (yd + dyo >= 0) & (yd + dyo < ey)
-        tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
-        ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
+    def dx_body(dxi, _):
+        dxo = dxi - h
+        for dy in range(K):
+            dyo = dy - h
+            delta = dxo * (1 << sx) + dyo * (1 << sy)
+            ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
+                (yd + dyo >= 0) & (yd + dyo < ey)
+            tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
+            ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
 
-        def block(b, _, dy=dy):
-            lo = lo_ref[0, 0, dy, b]
-            hi = hi_ref[0, 0, dy, b]
-            tkb = tk_scr[pl.ds(b, 1), :]              # [1, 128]
-            ztkb = ztk_scr[pl.ds(b, 1), :]
-            s0 = jnp.clip((lo - 8) & ~7, 0, N - _SLAB).astype(jnp.int32)
+            def block(b, _, dy=dy):
+                lo = lo_ref[0, dxi, dy, b]
+                hi = hi_ref[0, dxi, dy, b]
+                tkb = tk_scr[pl.ds(b, 1), :]          # [1, 128]
+                ztkb = ztk_scr[pl.ds(b, 1), :]
+                s0 = jnp.clip((lo - 8) & ~7, 0, N - _SLAB).astype(jnp.int32)
 
-            def cond(c):
-                return jnp.logical_not(c[1])
+                def cond(c):
+                    return jnp.logical_not(c[1])
 
-            def body(c):
-                s, _, g = c
-                # s is 8-aligned by construction (s0 masked, += SLAB,
-                # min with N-SLAB); Mosaic needs the hint to vector-load
-                s = pl.multiple_of(s, 8)
-                sk = keys_col_ref[0, pl.ds(s, _SLAB), :]   # [SLAB, 1]
-                zs = sk & zmask
-                d = sk - tkb                               # [SLAB, 128]
-                zdl = zs - ztkb
-                fs = feats_ref[0, pl.ds(s, _SLAB), :]      # [SLAB, C]
-                # per-dz one-hot gather on the MXU: genuine z-neighbor iff
-                # both the packed key and the z digit differ by exactly dz
-                # (the digit check rejects borrows across the z field)
-                gs = []
-                for dz in range(-h, h + 1):
-                    e = ((d == dz) & (zdl == dz)).astype(jnp.bfloat16)
-                    gs.append(jax.lax.dot_general(
-                        e, fs, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))  # [128, C]
-                g = g + jnp.concatenate(gs, axis=1)        # [128, K*C]
-                done = (s + _SLAB > hi) | (s >= N - _SLAB)
-                nxt = jnp.minimum(s + _SLAB, N - _SLAB).astype(jnp.int32)
-                return (nxt, done, g)
+                def body(c):
+                    s, _, g = c
+                    # s is 8-aligned by construction (s0 masked, += SLAB,
+                    # min with N-SLAB); Mosaic needs the hint to load
+                    s = pl.multiple_of(s, 8)
+                    sk = keys_col_ref[0, pl.ds(s, _SLAB), :]   # [SLAB, 1]
+                    zs = sk & zmask
+                    d = sk - tkb                               # [SLAB, 128]
+                    zdl = zs - ztkb
+                    fs = feats_ref[0, pl.ds(s, _SLAB), :]      # [SLAB, C]
+                    # per-dz one-hot gather on the MXU: genuine z-neighbor
+                    # iff both the packed key and the z digit differ by
+                    # exactly dz (rejects borrows across the z field)
+                    gs = []
+                    for dz in range(-h, h + 1):
+                        e = ((d == dz) & (zdl == dz)).astype(jnp.bfloat16)
+                        gs.append(jax.lax.dot_general(
+                            e, fs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))  # [128, C]
+                    g = g + jnp.concatenate(gs, axis=1)        # [128, K*C]
+                    done = (s + _SLAB > hi) | (s >= N - _SLAB)
+                    nxt = jnp.minimum(s + _SLAB,
+                                      N - _SLAB).astype(jnp.int32)
+                    return (nxt, done, g)
 
-            _, _, g = jax.lax.while_loop(
-                cond, body,
-                (s0, s0 > hi, jnp.zeros((_LANE, K * C), jnp.float32)))
-            # fused weight apply: [128, K*C] @ [K*C, Cout] (dz-major rows)
-            contrib = jax.lax.dot_general(
-                g.astype(jnp.bfloat16), w_ref[0, 0, dy],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            q = pl.multiple_of(b * _LANE, _LANE)
-            out_ref[0, pl.ds(q, _LANE), :] += contrib
-            return 0
+                _, _, g = jax.lax.while_loop(
+                    cond, body,
+                    (s0, s0 > hi, jnp.zeros((_LANE, K * C), jnp.float32)))
+                # fused weight apply: [128, K*C] @ [K*C, Cout]
+                # (dz-major rows)
+                contrib = jax.lax.dot_general(
+                    g.astype(jnp.bfloat16), w_ref[0, dxi, dy],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                q = pl.multiple_of(b * _LANE, _LANE)
+                out_ref[0, pl.ds(q, _LANE), :] += contrib
+                return 0
 
-        jax.lax.fori_loop(0, NB, block, 0)
+            jax.lax.fori_loop(0, NB, block, 0)
+        return 0
+
+    jax.lax.fori_loop(0, K, dx_body, 0)
 
 
 def _rank_bounds(skeys, K):
@@ -190,7 +197,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
     keys_col = skeys.reshape(G, N, 1)
     keys_row = skeys.reshape(G, NB, _LANE)
     featsb = jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16)
-    # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]
+    # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]; the whole dx
+    # axis rides in the class block (dx is scanned inside the kernel)
     w2 = (w.astype(jnp.bfloat16)
           .reshape(G, K, K, K, C, Cout)        # [G, dx, dy, dz, C, O]
           .reshape(G, K, K, K * C, Cout))
@@ -199,23 +207,23 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kern,
-        grid=(G, K),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1, K, NB), lambda g, dx: (g, dx, 0, 0),
+            pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K, NB), lambda g, dx: (g, dx, 0, 0),
+            pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 1), lambda g, dx: (g, 0, 0),
+            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, _LANE), lambda g, dx: (g, 0, 0),
+            pl.BlockSpec((1, NB, _LANE), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda g, dx: (g, 0, 0),
+            pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K, K * C, Cout),
-                         lambda g, dx: (g, dx, 0, 0, 0),
+            pl.BlockSpec((1, K, K, K * C, Cout),
+                         lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, Cout), lambda g, dx: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, N, Cout), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, N, Cout), jnp.float32),
         scratch_shapes=[
@@ -235,7 +243,7 @@ def mxu_conv_vmem_bytes(N, C, Cout, K):
     """Rough VMEM working set of the fused conv (double-buffered blocks)."""
     return (2 * N * C * 2          # feats bf16, double-buffered
             + 2 * N * Cout * 4     # out f32, double-buffered
-            + 2 * K * K * C * Cout * 2 * K  # weight block
+            + 2 * K ** 3 * C * Cout * 2  # weight block (full dx axis)
             + N * 8 + _LANE * 8 * 4)
 
 

@@ -70,3 +70,19 @@ def test_sparse_occupancy_and_empty_class(case):
     err = np.abs(np.asarray(ref) - np.asarray(out)).max() / \
         (np.abs(np.asarray(ref)).max() + 1e-9)
     assert err < 2e-2, err
+
+
+def test_vmapped_matches_unbatched(case):
+    """vmap prepends grid dims to pallas_call; the kernel must not read
+    program_id for semantics (round-2 regression: under vmap the dx axis
+    silently read the class index)."""
+    fc, ff, fv, w = case
+    B = 2
+    ffb = jnp.stack([ff, ff * 0.5])
+    out_b = jax.vmap(lambda f: subm_conv_classes_mxu(fc, fv, f, w, 5))(ffb)
+    ref0 = subm_conv_classes_mxu(fc, fv, ff, w, 5)
+    ref1 = subm_conv_classes_mxu(fc, fv, ff * 0.5, w, 5)
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(ref0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b[1]), np.asarray(ref1),
+                               rtol=1e-4, atol=1e-5)
