@@ -231,7 +231,9 @@ class CAGroup3DHead:
         # unique_voxels_classes output is key-sorted, which the MXU
         # kernel requires.
         def _cls_conv(st_cls, kernel_size, w):
-            if jax.default_backend() == "tpu" and st_cls.coords.shape[1] >= 256:
+            if jax.default_backend() == "tpu" \
+                    and self.loss_cfg.get("MXU_HEAD", True) \
+                    and st_cls.coords.shape[1] >= 256:
                 from ...ops.pallas_conv import subm_conv_classes_mxu
                 return subm_conv_classes_mxu(
                     st_cls.coords, st_cls.valid, st_cls.feats, w, kernel_size)
