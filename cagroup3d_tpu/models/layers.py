@@ -83,21 +83,24 @@ def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
     return out
 
 
-# under vmap (batched training) Pallas blocks grow by the batch factor,
-# so the budget must leave headroom: 26M keeps the stride>=2 backbone
-# tables (N*C <= 2M) and excludes the stride-1 stem
-_MXU_VMEM_BUDGET = 26 * 1024 * 1024
+# Under vmap (batched training) Pallas blocks grow by the batch factor,
+# so training needs headroom: 26M keeps the stride>=2 backbone tables
+# (N*C <= 2M).  Batch-1 eval can afford the stride-1 stem too.
+_MXU_VMEM_BUDGET_TRAIN = 26 * 1024 * 1024
+_MXU_VMEM_BUDGET_EVAL = 40 * 1024 * 1024
 
 
 def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
     import jax
     from ..ops.pallas_conv import mxu_conv_vmem_bytes
+    budget = _MXU_VMEM_BUDGET_TRAIN if ctx.train else \
+        _MXU_VMEM_BUDGET_EVAL
     return (jax.default_backend() == "tpu"
             and (not ctx.train or getattr(ctx, "mxu_train", False))
             and k % 2 == 1
             and st.cap % 128 == 0 and st.cap >= 192
             and mxu_conv_vmem_bytes(st.cap, st.num_channels, cout, k)
-            <= _MXU_VMEM_BUDGET)
+            <= budget)
 
 
 def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
