@@ -87,7 +87,7 @@ def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
 # so training needs headroom: 26M keeps the stride>=2 backbone tables
 # (N*C <= 2M).  Batch-1 eval can afford the stride-1 stem too.
 _MXU_VMEM_BUDGET_TRAIN = 26 * 1024 * 1024
-_MXU_VMEM_BUDGET_EVAL = 40 * 1024 * 1024
+_MXU_VMEM_BUDGET_EVAL = 52 * 1024 * 1024
 
 
 def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
