@@ -47,24 +47,30 @@ from ..core.hashing import INVALID_KEY, key_extents, key_shifts, \
     pack_coords
 
 _LANE = 128
-_SLAB = 192
+# Query-block width (lanes) and its slab length.  QW=256 (fewer, larger
+# matmuls) produces WRONG results on real v5e hardware while passing in
+# interpret mode (Mosaic lowering issue with [SLAB, 256] one-hot
+# compares/stores, ~7% rel err) — keep 128 until the toolchain moves.
+_QW = 128
+_SLAB_FOR = {128: 192, 256: 320}
 
 
 def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
-                 w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N):
+                 w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N, QW,
+                 SLAB):
     """Grid is (G,) ONLY, with the dx offset scanned inside the kernel:
     vmap prepends batch grid dimensions, so any pl.program_id(i) use for
     semantics would silently read the wrong axis under batching (the
     round-2 NaN bug).  This body never touches program_id; batching just
     adds leading index_map dims."""
     h = K // 2
-    NB = N // _LANE
+    NB = N // QW
     invalid = int(INVALID_KEY)
     (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     zmask = ez - 1
 
     out_ref[0] = jnp.zeros((N, Cout), jnp.float32)
-    keys_row = keys_row_ref[0]                        # [NB, 128]
+    keys_row = keys_row_ref[0]                        # [NB, QW]
     xd = jax.lax.shift_right_logical(keys_row, sx)
     yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
     valid_q = keys_row < invalid
@@ -82,9 +88,9 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
             def block(b, _, dy=dy):
                 lo = lo_ref[0, dxi, dy, b]
                 hi = hi_ref[0, dxi, dy, b]
-                tkb = tk_scr[pl.ds(b, 1), :]          # [1, 128]
+                tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
                 ztkb = ztk_scr[pl.ds(b, 1), :]
-                s0 = jnp.clip((lo - 8) & ~7, 0, N - _SLAB).astype(jnp.int32)
+                s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
 
                 def cond(c):
                     return jnp.logical_not(c[1])
@@ -94,11 +100,11 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     # s is 8-aligned by construction (s0 masked, += SLAB,
                     # min with N-SLAB); Mosaic needs the hint to load
                     s = pl.multiple_of(s, 8)
-                    sk = keys_col_ref[0, pl.ds(s, _SLAB), :]   # [SLAB, 1]
+                    sk = keys_col_ref[0, pl.ds(s, SLAB), :]    # [SLAB, 1]
                     zs = sk & zmask
-                    d = sk - tkb                               # [SLAB, 128]
+                    d = sk - tkb                               # [SLAB, QW]
                     zdl = zs - ztkb
-                    fs = feats_ref[0, pl.ds(s, _SLAB), :]      # [SLAB, C]
+                    fs = feats_ref[0, pl.ds(s, SLAB), :]       # [SLAB, C]
                     # per-dz one-hot gather on the MXU: genuine z-neighbor
                     # iff both the packed key and the z digit differ by
                     # exactly dz (rejects borrows across the z field)
@@ -107,24 +113,24 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                         e = ((d == dz) & (zdl == dz)).astype(jnp.bfloat16)
                         gs.append(jax.lax.dot_general(
                             e, fs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))  # [128, C]
-                    g = g + jnp.concatenate(gs, axis=1)        # [128, K*C]
-                    done = (s + _SLAB > hi) | (s >= N - _SLAB)
-                    nxt = jnp.minimum(s + _SLAB,
-                                      N - _SLAB).astype(jnp.int32)
+                            preferred_element_type=jnp.float32))  # [QW, C]
+                    g = g + jnp.concatenate(gs, axis=1)        # [QW, K*C]
+                    done = (s + SLAB > hi) | (s >= N - SLAB)
+                    nxt = jnp.minimum(s + SLAB,
+                                      N - SLAB).astype(jnp.int32)
                     return (nxt, done, g)
 
                 _, _, g = jax.lax.while_loop(
                     cond, body,
-                    (s0, s0 > hi, jnp.zeros((_LANE, K * C), jnp.float32)))
+                    (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32)))
                 # fused weight apply: [128, K*C] @ [K*C, Cout]
                 # (dz-major rows)
                 contrib = jax.lax.dot_general(
                     g.astype(jnp.bfloat16), w_ref[0, dxi, dy],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                q = pl.multiple_of(b * _LANE, _LANE)
-                out_ref[0, pl.ds(q, _LANE), :] += contrib
+                q = pl.multiple_of(b * QW, _LANE)
+                out_ref[0, pl.ds(q, QW), :] += contrib
                 return 0
 
             jax.lax.fori_loop(0, NB, block, 0)
@@ -188,14 +194,20 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
     G, N, C = feats.shape
     K = kernel_size
     Cout = w.shape[-1]
-    assert N % _LANE == 0 and N >= _SLAB, (N, _SLAB)
-    NB = N // _LANE
+    QW = _QW if N % _QW == 0 and N >= _SLAB_FOR[_QW] else _LANE
+    SLAB = _SLAB_FOR[QW]
+    assert N % QW == 0 and N >= SLAB, (N, QW, SLAB)
+    NB = N // QW
 
     lat = jnp.floor_divide(coords, stride) if stride != 1 else coords
     skeys = pack_coords(lat, valid)                              # [G, N]
     lo, hi = _rank_bounds(skeys, K)
+    if QW != _LANE:
+        r = QW // _LANE
+        lo = jnp.min(lo.reshape(G, K, K, NB, r), axis=-1)
+        hi = jnp.max(hi.reshape(G, K, K, NB, r), axis=-1)
     keys_col = skeys.reshape(G, N, 1)
-    keys_row = skeys.reshape(G, NB, _LANE)
+    keys_row = skeys.reshape(G, NB, QW)
     featsb = jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16)
     # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]; the whole dx
     # axis rides in the class block (dx is scanned inside the kernel)
@@ -203,7 +215,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
           .reshape(G, K, K, K, C, Cout)        # [G, dx, dy, dz, C, O]
           .reshape(G, K, K, K * C, Cout))
 
-    kern = functools.partial(_conv_kernel, K=K, C=C, Cout=Cout, N=N)
+    kern = functools.partial(_conv_kernel, K=K, C=C, Cout=Cout, N=N,
+                             QW=QW, SLAB=SLAB)
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kern,
@@ -215,7 +228,7 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, _LANE), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, NB, QW), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -227,8 +240,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, N, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NB, _LANE), jnp.int32),
-            pltpu.VMEM((NB, _LANE), jnp.int32),
+            pltpu.VMEM((NB, QW), jnp.int32),
+            pltpu.VMEM((NB, QW), jnp.int32),
         ],
         # double-buffered blocks can exceed the default 16M scoped-vmem
         # budget for the larger backbone tables
