@@ -294,7 +294,8 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
 
 
 def spconv_reduce_lat(lat, valid, kernel, stride, padding, cap: int,
-                      stats: dict = None, stat_name: str = "spconv"):
+                      stats: dict = None, stat_name: str = "spconv",
+                      in_extent=None):
     """Output lattice of an spconv-style strided SparseConv3d (spconv
     semantics, unlike ME's floor-divide: output o exists iff some input
     lies in its receptive field o*s - p + [0, k)).
@@ -305,14 +306,27 @@ def spconv_reduce_lat(lat, valid, kernel, stride, padding, cap: int,
     enumeration covers the pool exactly.
 
     lat i32[N, 3] input lattice; kernel/stride/padding int or triples.
+    in_extent: optional input spatial extent triple; when given, outputs
+    are clamped to the dense output extent (X + 2p - k)//s + 1 — spconv
+    never creates voxels past the grid edge, and an unclamped candidate
+    at the top edge (e.g. i=X-1, k=3, s=2, p=1) would.
     Returns (out_lat [cap, 3] in OUTPUT lattice units, out_valid [cap]).
     """
     import numpy as np
     k = np.broadcast_to(np.asarray(kernel), (3,)).astype(int)
     s = np.broadcast_to(np.asarray(stride), (3,)).astype(int)
     p = np.broadcast_to(np.asarray(padding), (3,)).astype(int)
-    n_opts = [int(np.floor(pp / ss) - np.ceil((pp - kk + 1) / ss)) + 1
-              for kk, ss, pp in zip(k, s, p)]
+    out_extent = None
+    if in_extent is not None:
+        ext = np.broadcast_to(np.asarray(in_extent), (3,)).astype(int)
+        out_extent = (ext + 2 * p - k) // s + 1
+    # per-input candidate count: width of [ceil((i+p-k+1)/s),
+    # floor((i+p)/s)] maximised over i's alignment = 1 + (k-1)//s
+    # (independent of p; the old p-based formula undercounted for
+    # k=3,s=2,p=1 and could MISS outputs whose aligned input is absent).
+    # Over-enumeration is safe: invalid candidates fail the receptive-
+    # field check below.
+    n_opts = [1 + (kk - 1) // ss for kk, ss in zip(k, s)]
     sj = jnp.asarray(s, jnp.int32)
     pj = jnp.asarray(p, jnp.int32)
     kj = jnp.asarray(k, jnp.int32)
@@ -327,6 +341,9 @@ def spconv_reduce_lat(lat, valid, kernel, stride, padding, cap: int,
                 lo = o * sj - pj
                 okc = jnp.all((lat >= lo) & (lat < lo + kj), axis=-1) & \
                     jnp.all(o >= 0, axis=-1) & valid
+                if out_extent is not None:
+                    okc = okc & jnp.all(
+                        o < jnp.asarray(out_extent, jnp.int32), axis=-1)
                 cands.append(o)
                 oks.append(okc)
     lat_c = jnp.concatenate(cands, axis=0)

@@ -34,14 +34,22 @@ def _triple(v):
     return tuple(np.broadcast_to(np.asarray(v), (3,)).astype(int))
 
 
+def down_extent(ext, k, s, p):
+    """Dense output extent of a strided conv: (X + 2p - k)//s + 1."""
+    kk, ss, pp = _triple(k), _triple(s), _triple(p)
+    return tuple((e + 2 * q - w) // t + 1
+                 for e, w, t, q in zip(ext, kk, ss, pp))
+
+
 def spconv_down(P, S, ctx: Ctx, path: str, st: SparseTensor, k, s, p,
-                cap: int) -> SparseTensor:
+                cap: int, in_extent=None) -> SparseTensor:
     """Strided SparseConv3d + BN + ReLU with spconv coordinate semantics.
     st.coords are the input's lattice units (stride 1)."""
     kk, ss, pp = _triple(k), _triple(s), _triple(p)
     out_lat, out_valid = spconv_reduce_lat(
         st.coords, st.valid, kk, ss, pp, cap,
-        stats=getattr(ctx, "stats", None), stat_name=f"spconv/{path}")
+        stats=getattr(ctx, "stats", None), stat_name=f"spconv/{path}",
+        in_extent=in_extent)
     offs = np.array([[a, b, c] for a in range(kk[0]) for b in range(kk[1])
                      for c in range(kk[2])], np.int32)
     tgt_scaled = out_lat * jnp.asarray(ss, jnp.int32) - \
@@ -67,6 +75,19 @@ class VoxelBackBone8x:
         self.num_point_features = 128
         self.backbone_channels = {"x_conv1": 16, "x_conv2": 32,
                                   "x_conv3": 64, "x_conv4": 64}
+        # spconv sparse_shape adds 1 to z (spconv_backbone.py:75
+        # sparse_shape = grid_size[::-1] + [1, 0, 0]); extents are in
+        # our (x, y, z) coordinate order and bound each level's lattice
+        self.extents = None
+        self.final_extent = None
+        if grid_size is not None:
+            gx, gy, gz = [int(g) for g in grid_size]
+            e1 = (gx, gy, gz + 1)
+            e2 = down_extent(e1, 3, 2, 1)
+            e3 = down_extent(e2, 3, 2, 1)
+            e4 = down_extent(e3, 3, 2, (1, 1, 0))
+            self.final_extent = down_extent(e4, (1, 1, 3), (1, 1, 2), 0)
+            self.extents = {1: e1, 2: e2, 4: e3, 8: e4}
 
     def init(self, rng, prefix: str = "backbone_3d") -> Tuple[Params, Params]:
         P: Params = {}
@@ -113,25 +134,28 @@ class VoxelBackBone8x:
         x1 = self._bn_relu(P, S, ctx, pre + ".conv1.0.1",
                            subm(P, ctx, pre + ".conv1.0.0", x, 3))
 
-        def stage(xin, path, cap, pad=1, n_subm=2):
+        ext = self.extents or {}
+
+        def stage(xin, path, cap, pad=1, n_subm=2, in_ext=None):
             y = spconv_down(P, S, ctx, f"{pre}.{path}.0.0", xin, 3, 2,
-                            pad, cap)
+                            pad, cap, in_extent=in_ext)
             y = self._bn_relu(P, S, ctx, f"{pre}.{path}.0.1", y)
             for i in range(1, n_subm + 1):
                 y = self._bn_relu(P, S, ctx, f"{pre}.{path}.{i}.1",
                                   subm(P, ctx, f"{pre}.{path}.{i}.0", y, 3))
             return y
 
-        x2 = stage(x1, "conv2", caps[2], pad=1)
-        x3 = stage(x2, "conv3", caps[4], pad=1)
+        x2 = stage(x1, "conv2", caps[2], pad=1, in_ext=ext.get(1))
+        x3 = stage(x2, "conv3", caps[4], pad=1, in_ext=ext.get(2))
         # reference pad (0,1,1) is spconv (z,y,x) order -> ours (x,y,z)
-        x4 = stage(x3, "conv4", caps[8], pad=(1, 1, 0))
+        x4 = stage(x3, "conv4", caps[8], pad=(1, 1, 0), in_ext=ext.get(4))
 
         # conv_out: spconv kernel (3,1,1)/stride (2,1,1) in (z,y,x)
         # order -> z is the compressed axis in our (x,y,z) coords
         out_lat, out_valid = spconv_reduce_lat(
             x4.coords, x4.valid, (1, 1, 3), (1, 1, 2), 0, caps[8],
-            stats=getattr(ctx, "stats", None), stat_name="spconv/out")
+            stats=getattr(ctx, "stats", None), stat_name="spconv/out",
+            in_extent=ext.get(8))
         offs = np.array([[0, 0, a] for a in range(3)], np.int32)
         tgt_scaled = out_lat * jnp.asarray([1, 1, 2], jnp.int32)
         f = scan_conv(x4.coords, x4.valid, x4.masked_feats(), 1,

@@ -70,7 +70,12 @@ class ResidualCoder:
 
 
 def generate_anchors(cfgs: List[dict], grid_size, pc_range):
-    """anchor_generator.py:17-64 -> ([A, 7] per class list, counts)."""
+    """anchor_generator.py:17-64 -> per-class grids [ny, nx, a_cls, 7].
+
+    Kept un-flattened so the head can concatenate classes along the
+    per-location anchor axis (pcdet cats class grids on dim=-3 before
+    flattening, anchor_head_template.py:42), matching the prediction
+    layout [y][x][per-loc anchor]."""
     out = []
     for c in cfgs:
         stride = int(c["feature_map_stride"])
@@ -98,7 +103,7 @@ def generate_anchors(cfgs: List[dict], grid_size, pc_range):
             sizes[None, None, None, :, 2] / 2
         g[..., 3:6] = sizes[None, None, None, :, None]
         g[..., 6] = rots[None, None, None, None, :]
-        out.append(g.reshape(-1, 7))
+        out.append(g.reshape(ny, nx, -1, 7))
     return out
 
 
@@ -136,19 +141,29 @@ class AnchorHeadSingle:
         self.coder = ResidualCoder(
             7, bool(c.get("BOX_CODER_CONFIG", {}).get(
                 "encode_angle_by_sincos", False)))
-        anchors = generate_anchors(self.anchor_cfgs, self.grid_size,
-                                   self.pc_range)
-        self.anchors_np = np.concatenate(anchors, axis=0)   # [A, 7]
-        self.n_per_cls = [len(a) for a in anchors]
-        # per-anchor class id + match thresholds
+        grids = generate_anchors(self.anchor_cfgs, self.grid_size,
+                                 self.pc_range)
+        if len({g.shape[:2] for g in grids}) != 1:
+            raise ValueError(
+                "anchor classes must share a feature_map_stride")
+        # class grids concatenated along the PER-LOCATION anchor axis
+        # (pcdet anchor_head_template.py:42 cats on dim=-3) so that flat
+        # row i matches prediction row i of the [y][x][anchor] reshape
+        loc = np.concatenate(grids, axis=2)       # [ny, nx, A_loc, 7]
+        ny, nx = loc.shape[:2]
+        self.anchors_np = loc.reshape(-1, 7)      # [A, 7] location-major
+        # per-location class id + match thresholds, tiled over locations
         cls_ids, mt, ut = [], [], []
-        for i, a in enumerate(self.anchor_cfgs):
-            cls_ids += [i] * self.n_per_cls[i]
-            mt += [float(a["matched_threshold"])] * self.n_per_cls[i]
-            ut += [float(a["unmatched_threshold"])] * self.n_per_cls[i]
-        self.anchor_cls_np = np.asarray(cls_ids, np.int32)
-        self.matched_thr_np = np.asarray(mt, np.float32)
-        self.unmatched_thr_np = np.asarray(ut, np.float32)
+        for i, (a, g) in enumerate(zip(self.anchor_cfgs, grids)):
+            a_cls = g.shape[2]
+            cls_ids += [i] * a_cls
+            mt += [float(a["matched_threshold"])] * a_cls
+            ut += [float(a["unmatched_threshold"])] * a_cls
+        self.anchor_cls_np = np.tile(np.asarray(cls_ids, np.int32),
+                                     ny * nx)
+        self.matched_thr_np = np.tile(np.asarray(mt, np.float32), ny * nx)
+        self.unmatched_thr_np = np.tile(np.asarray(ut, np.float32),
+                                        ny * nx)
         self.n_anchors_per_loc = sum(
             len(a["anchor_sizes"]) * len(a["anchor_rotations"]) *
             len(a["anchor_bottom_heights"]) for a in self.anchor_cfgs)

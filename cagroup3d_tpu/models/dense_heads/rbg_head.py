@@ -158,10 +158,12 @@ class RayBasedGrouping:
         centers = jnp.asarray([b / B5 for b in range(1, B5 + 1)],
                               jnp.float32)
         bins_above = jnp.take(bins, above)                      # [P, R, B3]
-        c_above = jnp.take(centers, jnp.clip(bins_above - 1, 0, B5 - 1))
-        # reference indexes bin_center_positions with the 1-based bin id
-        # shifted to 0-based implicitly via gather on [B5]; bins_g == 0
-        # (beyond last cdf) clips to center[0]
+        # reference gathers bin_center_positions[bins_g] = (bins_g+1)/B5
+        # directly (rbg_head.py:1150-1156, no -1 shift) — match it for
+        # checkpoint parity; bins_g == B5 (first cdf entry) would index
+        # out of range in torch too, clip like the reference's implicit
+        # [B5]-sized gather bound
+        c_above = jnp.take(centers, jnp.clip(bins_above, 0, B5 - 1))
         hi = c_above + self.sa_radius
         lo = c_above - self.sa_radius
         cdf_b = jnp.take_along_axis(cdf, below, axis=-1)

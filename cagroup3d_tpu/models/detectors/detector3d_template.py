@@ -56,7 +56,8 @@ class Detector3DTemplate:
         if cfg is None:
             return None
         from ..backbones_3d import __all__ as registry
-        return registry[cfg.NAME](cfg)
+        return registry[cfg.NAME](
+            cfg, grid_size=getattr(self, "grid_size", None))
 
     def build_map_to_bev_module(self):
         cfg = self._cfg("MAP_TO_BEV")

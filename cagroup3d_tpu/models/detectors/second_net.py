@@ -75,10 +75,13 @@ class SECONDNet(Detector3DTemplate):
         gx, gy, gz = self.grid_size
         if self.model_cfg.MAP_TO_BEV.NAME == "PointPillarScatter":
             return (gx, gy, 1)
-        # VoxelBackBone8x: /8 in x/y; z: two k3s2p1 downs, one k3s2p0
-        # (conv4's reference pad (0,1,1) is z-pad 0), then the (z k3 s2
-        # p0) compression of conv_out
-        z = gz
+        # VoxelBackBone8x computes its per-level extents from the spconv
+        # sparse_shape (z extent gz+1, spconv_backbone.py:75); KITTI
+        # gz=40 -> z chain 41,21,11,5,2 so D*C = 2*128 = 256
+        bb = getattr(self, "backbone_3d", None)
+        if bb is not None and getattr(bb, "final_extent", None):
+            return tuple(bb.final_extent)
+        z = gz + 1
         for _ in range(2):
             z = (z + 2 * 1 - 3) // 2 + 1
         z = (z - 3) // 2 + 1

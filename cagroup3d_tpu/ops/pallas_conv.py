@@ -96,7 +96,7 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     return jnp.logical_not(c[1])
 
                 def body(c):
-                    s, _, g = c
+                    s, _, g, cov = c
                     # s is 8-aligned by construction (s0 masked, += SLAB,
                     # min with N-SLAB); Mosaic needs the hint to load
                     s = pl.multiple_of(s, 8)
@@ -105,12 +105,18 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     d = sk - tkb                               # [SLAB, QW]
                     zdl = zs - ztkb
                     fs = feats_ref[0, pl.ds(s, SLAB), :]       # [SLAB, C]
+                    # rows below `cov` were handled by the previous slab;
+                    # the final slab clamps to N-SLAB and may overlap it,
+                    # so mask them or their matches double-count
+                    fresh = (s + jax.lax.broadcasted_iota(
+                        jnp.int32, (SLAB, 1), 0)) >= cov
                     # per-dz one-hot gather on the MXU: genuine z-neighbor
                     # iff both the packed key and the z digit differ by
                     # exactly dz (rejects borrows across the z field)
                     gs = []
                     for dz in range(-h, h + 1):
-                        e = ((d == dz) & (zdl == dz)).astype(jnp.bfloat16)
+                        e = ((d == dz) & (zdl == dz) &
+                             fresh).astype(jnp.bfloat16)
                         gs.append(jax.lax.dot_general(
                             e, fs, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32))  # [QW, C]
@@ -118,11 +124,12 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     done = (s + SLAB > hi) | (s >= N - SLAB)
                     nxt = jnp.minimum(s + SLAB,
                                       N - SLAB).astype(jnp.int32)
-                    return (nxt, done, g)
+                    return (nxt, done, g, s + SLAB)
 
-                _, _, g = jax.lax.while_loop(
+                _, _, g, _ = jax.lax.while_loop(
                     cond, body,
-                    (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32)))
+                    (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32),
+                     jnp.int32(-(1 << 29))))
                 # fused weight apply: [128, K*C] @ [K*C, Cout]
                 # (dz-major rows)
                 contrib = jax.lax.dot_general(

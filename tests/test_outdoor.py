@@ -140,3 +140,101 @@ def test_outdoor_eval(rng):
     out = jax.jit(lambda p, b: model.forward_eval(p, S, b))(P, batch)
     assert out["pred_boxes"].shape == (1, 64, 7)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+def test_anchor_layout_is_location_major():
+    """Flat anchor row i must match prediction row i of the
+    [y][x][per-loc anchor] reshape (pcdet cats class grids on dim=-3,
+    anchor_head_template.py:42; round-2 advisor finding: class-major
+    concatenation mismatched every multi-class anchor)."""
+    from cagroup3d_tpu.models.dense_heads.anchor_head import \
+        AnchorHeadSingle
+    cfg = second_cfg().DENSE_HEAD
+    head = AnchorHeadSingle(cfg, num_class=2,
+                            grid_size=[64, 64, 41],
+                            point_cloud_range=PC_RANGE)
+    A_loc = head.n_anchors_per_loc
+    assert A_loc == 4  # 2 classes x 1 size x 2 rots
+    a = head.anchors_np.reshape(-1, A_loc, 7)
+    # every per-location block shares one (x, y) center
+    assert np.allclose(a[:, :, 0], a[:, :1, 0])
+    assert np.allclose(a[:, :, 1], a[:, :1, 1])
+    # within a block: class 0 (Car) anchors first, then class 1
+    assert np.allclose(a[:, 0, 3:6], [3.9, 1.6, 1.56])
+    assert np.allclose(a[:, 1, 3:6], [3.9, 1.6, 1.56])
+    assert np.allclose(a[:, 2, 3:6], [0.8, 0.6, 1.73])
+    assert np.allclose(a[:, 3, 3:6], [0.8, 0.6, 1.73])
+    assert np.allclose(a[:, 0, 6], 0.0) and np.allclose(a[:, 1, 6], 1.57)
+    # class ids / thresholds tile the same per-location pattern
+    assert (head.anchor_cls_np.reshape(-1, A_loc) ==
+            np.asarray([0, 0, 1, 1])).all()
+    assert np.allclose(head.matched_thr_np.reshape(-1, A_loc),
+                       [0.6, 0.6, 0.5, 0.5])
+    # x varies fastest across location blocks (row-major [y][x])
+    ny = nx = 64 // 8
+    grid = head.anchors_np.reshape(ny, nx, A_loc, 7)
+    assert np.allclose(grid[:, :, :, 0], grid[:1, :, :, 0])  # x: col only
+    assert np.allclose(grid[:, :, :, 1], grid[:, :1, :, 1])  # y: row only
+
+
+def test_spconv_final_grid_z_plus_one():
+    """spconv sparse_shape adds 1 to z (spconv_backbone.py:75); KITTI
+    gz=40 must give final D=2 so HeightCompression's 2*128=256 holds
+    (round-2 advisor finding: gz=40 yielded D=1)."""
+    cfg = second_cfg()
+    cfg.POINT_CLOUD_RANGE = [0.0, -40.0, -3.0, 70.4, 40.0, 1.0]
+    cfg.VOXEL_SIZE = [0.05, 0.05, 0.1]       # KITTI: 1408 x 1600 x 40
+    model = build_network(cfg, num_class=2)
+    assert model.grid_size == [1408, 1600, 40]
+    assert model._final_grid() == (176, 200, 2)
+
+
+def test_spconv_reduce_lat_edge_clamp():
+    """With in_extent given, outputs past the dense output extent are
+    suppressed: input i=X-1 (k=3, s=2, p=1) would otherwise emit
+    o=(X+p)//2 == out extent, a voxel spconv never creates."""
+    from cagroup3d_tpu.core.voxelize import spconv_reduce_lat
+    X = 8                               # out extent (8+2-3)//2+1 = 4
+    lat = jnp.asarray([[7, 0, 0]], jnp.int32)
+    valid = jnp.asarray([True])
+    out_lat, out_valid = spconv_reduce_lat(
+        lat, valid, 3, 2, 1, 8, in_extent=(X, X, X))
+    got = np.asarray(out_lat)[np.asarray(out_valid)]
+    assert (got[:, 0] < 4).all(), got
+    assert len(got) == 1 and got[0, 0] == 3    # only o=3 survives
+    # without in_extent the spurious o=4 appears (documents the default)
+    out_lat2, out_valid2 = spconv_reduce_lat(lat, valid, 3, 2, 1, 8)
+    got2 = np.asarray(out_lat2)[np.asarray(out_valid2)]
+    assert set(got2[:, 0].tolist()) == {3, 4}
+
+
+def test_spconv_reduce_lat_matches_dense_reference():
+    """Sparse output lattice == dense-conv occupancy for random sparse
+    inputs across (k, s, p) combos.  Catches both the alignment
+    undercount (an isolated input at i=7, k3 s2 p1 must ALSO emit o=4)
+    and over-generation."""
+    from cagroup3d_tpu.core.voxelize import spconv_reduce_lat
+    rs = np.random.RandomState(3)
+    X = 9
+    for k, s, p in [(3, 2, 1), (3, 2, 0), (2, 2, 0), (3, 1, 1),
+                    ((1, 1, 3), (1, 1, 2), 0)]:
+        kk = np.broadcast_to(np.asarray(k), (3,)).astype(int)
+        ss = np.broadcast_to(np.asarray(s), (3,)).astype(int)
+        pp = np.broadcast_to(np.asarray(p), (3,)).astype(int)
+        oe = (np.asarray([X] * 3) + 2 * pp - kk) // ss + 1
+        for _ in range(5):
+            n = rs.randint(1, 20)
+            lat = rs.randint(0, X, (n, 3)).astype(np.int32)
+            # dense reference: every in-extent o whose receptive field
+            # o*s-p + [0, k) contains an input
+            expect = set()
+            for o in np.ndindex(*oe):
+                lo = np.asarray(o) * ss - pp
+                if ((lat >= lo) & (lat < lo + kk)).all(1).any():
+                    expect.add(tuple(o))
+            out_lat, out_valid = spconv_reduce_lat(
+                jnp.asarray(lat), jnp.ones(n, bool), k, s, p, 512,
+                in_extent=(X, X, X))
+            got = {tuple(r) for r in
+                   np.asarray(out_lat)[np.asarray(out_valid)]}
+            assert got == expect, (k, s, p, got ^ expect)

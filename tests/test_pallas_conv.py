@@ -86,3 +86,40 @@ def test_vmapped_matches_unbatched(case):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_b[1]), np.asarray(ref1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_multislab_tail_clamp_no_double_count():
+    """A rank window that reaches past N-SLAB forces the final slab to
+    clamp to [N-SLAB, N); the rows it shares with the previous slab must
+    not contribute twice (round-2 advisor finding: the one-hot matmul
+    re-added them).
+
+    Construction: x=0 holds 128 query voxels at y=2j; x=1 holds 256
+    voxels at y=j.  The dx=+1 pass of the x=0 block targets a window of
+    ~256 x=1 rows > SLAB(192), and with N=384 the walk's second slab
+    clamps to N-SLAB=192 < first slab end, overlapping it.
+    """
+    rs = np.random.RandomState(2)
+    C, CAP = 32, 384
+    lat = np.zeros((1, 384, 3), np.int32)
+    lat[0, :128, 0] = 0
+    lat[0, :128, 1] = np.arange(128) * 2
+    lat[0, 128:, 0] = 1
+    lat[0, 128:, 1] = np.arange(256)
+    feats = rs.randn(1, 384, C).astype(np.float32)
+    valid = np.ones((1, 384), bool)
+    from cagroup3d_tpu.core import hashing
+    old = (hashing.XBITS, hashing.YBITS, hashing.ZBITS)
+    hashing.set_key_bits(5, 12, 5)   # y up to 256+margin needs 9+ bits
+    try:
+        fc, ff, fv = unique_voxels_classes(
+            jnp.asarray(lat), jnp.asarray(feats), jnp.asarray(valid), CAP,
+            mode="mean")
+        w = jnp.asarray(rs.randn(1, 27, C, C).astype(np.float32) * 0.1)
+        ref = scan_conv_grouped_classes(fc, fv, ff, 1, 3, w)
+        out = subm_conv_classes_mxu(fc, fv, ff, w, 3)
+        err = np.abs(np.asarray(ref) - np.asarray(out)).max() / \
+            (np.abs(np.asarray(ref)).max() + 1e-9)
+        assert err < 2e-2, err
+    finally:
+        hashing.set_key_bits(*old)
