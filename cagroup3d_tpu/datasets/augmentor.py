@@ -95,6 +95,168 @@ def points_random_sampling(points, num_samples, return_choices=False):
     return (points[choices], choices) if return_choices else points[choices]
 
 
+def points_in_boxes_np(points, boxes7):
+    """bool [P, N]: point inside rotated 3D box (numpy, host-side)."""
+    if len(boxes7) == 0 or len(points) == 0:
+        return np.zeros((len(points), len(boxes7)), bool)
+    d = points[:, None, :3] - boxes7[None, :, :3]
+    c, s = np.cos(boxes7[:, 6]), np.sin(boxes7[:, 6])
+    u = d[..., 0] * c[None] + d[..., 1] * s[None]
+    v = -d[..., 0] * s[None] + d[..., 1] * c[None]
+    return (np.abs(u) <= boxes7[None, :, 3] / 2) & \
+        (np.abs(v) <= boxes7[None, :, 4] / 2) & \
+        (np.abs(d[..., 2]) <= boxes7[None, :, 5] / 2)
+
+
+class DataBaseSampler:
+    """GT-paste augmentation for outdoor training (reference
+    pcdet/datasets/augmentor/database_sampler.py:14-248): sample
+    pre-cropped object point clouds from a gt database and paste them
+    into the scene collision-free.
+
+    TPU-note: this is pure host-side numpy; the device never sees ragged
+    shapes.  Collision tests use the same rotated-BEV intersection as the
+    evaluator (indoor_eval.rotated_intersection_np) instead of the
+    reference's CUDA/CPU iou3d kernels.
+    """
+
+    def __init__(self, root_path, sampler_cfg, class_names, logger=None):
+        from pathlib import Path
+        import pickle
+        self.root_path = Path(root_path)
+        self.cfg = sampler_cfg
+        self.class_names = list(class_names)
+        self.logger = logger
+        self.num_point_features = int(sampler_cfg.get(
+            "NUM_POINT_FEATURES", 4))
+        self.remove_extra_width = [float(x) for x in sampler_cfg.get(
+            "REMOVE_EXTRA_WIDTH", [0.0, 0.0, 0.0])]
+        self.limit_whole_scene = bool(sampler_cfg.get(
+            "LIMIT_WHOLE_SCENE", False))
+
+        self.db_infos = {c: [] for c in self.class_names}
+        for rel in sampler_cfg.get("DB_INFO_PATH", []):
+            p = self.root_path / rel
+            if not p.exists():
+                if logger:
+                    logger.warning(f"gt_sampling: missing db infos {p}")
+                continue
+            with open(p, "rb") as f:
+                infos = pickle.load(f)
+            for c in self.class_names:
+                self.db_infos[c].extend(infos.get(c, []))
+
+        for fn_name, val in dict(sampler_cfg.get("PREPARE", {})).items():
+            self.db_infos = getattr(self, fn_name)(self.db_infos, val)
+
+        self.sample_groups = {}
+        from .indoor_eval import rotated_intersection_np  # noqa: F401
+        self._bev_inter = rotated_intersection_np
+        for spec in sampler_cfg.get("SAMPLE_GROUPS", []):
+            name, num = str(spec).split(":")
+            if name not in self.class_names:
+                continue
+            self.sample_groups[name] = dict(
+                target=int(num), pointer=len(self.db_infos[name]),
+                indices=np.arange(len(self.db_infos[name])))
+
+    # -- PREPARE filters ------------------------------------------------
+    def filter_by_difficulty(self, db_infos, removed_difficulty):
+        return {k: [i for i in v
+                    if i.get("difficulty", 0) not in removed_difficulty]
+                for k, v in db_infos.items()}
+
+    def filter_by_min_points(self, db_infos, min_gt_points_list):
+        for spec in min_gt_points_list:
+            name, num = str(spec).split(":")
+            if int(num) > 0 and name in db_infos:
+                db_infos[name] = [i for i in db_infos[name]
+                                  if i.get("num_points_in_gt", 0) >=
+                                  int(num)]
+        return db_infos
+
+    # -------------------------------------------------------------------
+    def _draw(self, name, n):
+        """Epoch-permuted round-robin draw (sample_with_fixed_number,
+        database_sampler.py:117-136)."""
+        grp = self.sample_groups[name]
+        infos = self.db_infos[name]
+        if grp["pointer"] + n > len(infos):
+            grp["indices"] = np.random.permutation(len(infos))
+            grp["pointer"] = 0
+        picked = [infos[i] for i in
+                  grp["indices"][grp["pointer"]:grp["pointer"] + n]]
+        grp["pointer"] += n
+        return picked
+
+    def __call__(self, data_dict):
+        gt_boxes = data_dict["gt_boxes"]
+        gt_names = data_dict["gt_names"].astype(str)
+        existed = gt_boxes[:, :7].copy()
+        accepted = []
+
+        for name, grp in self.sample_groups.items():
+            n = grp["target"]
+            if self.limit_whole_scene:
+                n -= int(np.sum(gt_names == name))
+            n = min(n, len(self.db_infos[name]))
+            if n <= 0:
+                continue
+            cands = self._draw(name, n)
+            boxes = np.stack([c["box3d_lidar"] for c in cands]
+                             ).astype(np.float32)
+            # collision-free: zero BEV overlap vs existing + accepted
+            bev = boxes[:, [0, 1, 3, 4, 6]]
+            i1 = self._bev_inter(bev, existed[:, [0, 1, 3, 4, 6]])
+            i2 = self._bev_inter(bev, bev)
+            np.fill_diagonal(i2, 0.0)
+            ok = (i1.max(1, initial=0.0) + i2.max(1)) == 0
+            for i in np.flatnonzero(ok):
+                accepted.append(cands[i])
+                existed = np.concatenate([existed, boxes[i:i + 1, :7]])
+
+        if not accepted:
+            return data_dict
+        sampled_boxes = existed[len(gt_boxes):]
+
+        obj_pts = []
+        keep_boxes = []
+        keep_names = []
+        for info, box in zip(accepted, sampled_boxes):
+            f = self.root_path / info["path"]
+            if not f.exists():
+                continue
+            pts = np.fromfile(str(f), np.float32).reshape(
+                -1, self.num_point_features).copy()
+            pts[:, :3] += box[:3]
+            obj_pts.append(pts)
+            keep_boxes.append(box)
+            keep_names.append(info["name"])
+        if not keep_boxes:
+            return data_dict
+        sampled_boxes = np.stack(keep_boxes)
+        obj_pts = np.concatenate(obj_pts, axis=0)
+        sampled_names = np.asarray(keep_names)
+
+        # carve out the pasted footprints, then paste objects in front
+        from ..utils.box_utils import enlarge_box3d
+        points = data_dict["points"]
+        big = enlarge_box3d(sampled_boxes, self.remove_extra_width)
+        inside = points_in_boxes_np(points, big).any(axis=1)
+        points = np.concatenate([obj_pts[:, :points.shape[1]],
+                                 points[~inside]], axis=0)
+
+        mask = data_dict.get("gt_boxes_mask",
+                             np.ones(len(gt_boxes), bool))
+        data_dict["points"] = points
+        data_dict["gt_boxes"] = np.concatenate(
+            [gt_boxes[mask][:, :7], sampled_boxes], axis=0)
+        data_dict["gt_names"] = np.concatenate(
+            [gt_names[mask], sampled_names])
+        data_dict.pop("gt_boxes_mask", None)
+        return data_dict
+
+
 class DataAugmentor:
     """Pipeline driver (data_augmentor.py:19-24,295-326)."""
 
@@ -108,6 +270,12 @@ class DataAugmentor:
         disable = augmentor_configs.get("DISABLE_AUG_LIST", [])
         for cfg in aug_list:
             if cfg.NAME in disable:
+                continue
+            if cfg.NAME == "gt_sampling":
+                sampler = DataBaseSampler(root_path, cfg, class_names,
+                                          logger=logger)
+                self.queue.append(
+                    lambda data_dict, _s=sampler: _s(data_dict))
                 continue
             self.queue.append(partial(getattr(self, cfg.NAME), config=cfg))
 

@@ -6,11 +6,10 @@ matrices embedded per info), converts boxes to the lidar frame
 (box_utils.boxes3d_kitti_camera_to_lidar), reads velodyne .bin points,
 applies the outdoor augmentations, and pads to static caps.
 
-Evaluation: a 3D-IoU AP over the lidar-frame boxes at the configured
-RECALL thresholds via the area-AP machinery (indoor_eval).  The official
-KITTI 40-point R11/R40 protocol with difficulty buckets
-(kitti_object_eval_python, 1583 LoC numba) is a TODO — numbers here are
-comparable across our runs, not against the leaderboard.
+Evaluation: the official KITTI protocol (R11/R40 AP over
+easy/moderate/hard buckets for bbox/bev/3d/aos; see kitti_eval.py —
+reference kitti_object_eval_python/eval.py) when the infos carry full
+camera annos; a lidar-frame 3D-IoU area-AP fallback otherwise.
 """
 from __future__ import annotations
 
@@ -42,6 +41,55 @@ def boxes_camera_to_lidar(boxes_cam, R0, V2C):
     return np.concatenate([xyz_lidar, l, w, h, -(r + np.pi / 2)], axis=-1)
 
 
+def lidar_to_rect(pts_lidar, R0, V2C):
+    """calibration_kitti.Calibration.lidar_to_rect (forward of
+    rect_to_lidar)."""
+    pts_hom = np.hstack([pts_lidar,
+                         np.ones((len(pts_lidar), 1), np.float32)])
+    R0_ext = np.eye(4, dtype=np.float32)
+    R0_ext[:3, :3] = R0
+    V2C_ext = np.vstack([V2C, np.array([0, 0, 0, 1], np.float32)])
+    return (pts_hom @ (R0_ext @ V2C_ext).T)[:, :3]
+
+
+def boxes_lidar_to_camera(boxes7, R0, V2C):
+    """box_utils.boxes3d_lidar_to_kitti_camera: lidar (x,y,z ctr,l,w,h,r)
+    -> camera (x,y,z bottom, l,h,w, ry)."""
+    xyz = boxes7[:, 0:3].copy()
+    l, w, h = boxes7[:, 3:4], boxes7[:, 4:5], boxes7[:, 5:6]
+    xyz[:, 2] -= h[:, 0] / 2
+    xyz_cam = lidar_to_rect(xyz, R0, V2C)
+    r = -boxes7[:, 6:7] - np.pi / 2
+    return np.concatenate([xyz_cam, l, h, w, r], axis=-1)
+
+
+def boxes_camera_to_imageboxes(boxes_cam, P2, image_shape=None):
+    """box_utils.boxes3d_kitti_camera_to_imageboxes: project the 8
+    camera-frame corners through P2 and take the axis-aligned hull."""
+    n = len(boxes_cam)
+    if n == 0:
+        return np.zeros((0, 4), np.float32)
+    l, h, w = boxes_cam[:, 3], boxes_cam[:, 4], boxes_cam[:, 5]
+    ry = boxes_cam[:, 6]
+    xs = np.stack([l / 2, l / 2, -l / 2, -l / 2] * 2, -1)
+    ys = np.stack([np.zeros(n)] * 4 + [-h] * 4, -1)
+    zs = np.stack([w / 2, -w / 2, -w / 2, w / 2] * 2, -1)
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    x = c * xs + s * zs
+    z = -s * xs + c * zs
+    corners = np.stack([x, ys, z], -1) + boxes_cam[:, None, 0:3]  # [n,8,3]
+    hom = np.concatenate([corners, np.ones((n, 8, 1))], -1)
+    img = hom @ np.asarray(P2).T                                  # [n,8,3]
+    uv = img[..., :2] / np.maximum(img[..., 2:3], 1e-6)
+    boxes = np.concatenate([uv.min(1), uv.max(1)], -1).astype(np.float32)
+    if image_shape is not None:
+        boxes[:, 0] = np.clip(boxes[:, 0], 0, image_shape[1] - 1)
+        boxes[:, 1] = np.clip(boxes[:, 1], 0, image_shape[0] - 1)
+        boxes[:, 2] = np.clip(boxes[:, 2], 0, image_shape[1] - 1)
+        boxes[:, 3] = np.clip(boxes[:, 3], 0, image_shape[0] - 1)
+    return boxes
+
+
 class KittiDataset(DatasetTemplate):
     def __init__(self, dataset_cfg, class_names, root_path=None,
                  training=True, logger=None):
@@ -65,6 +113,20 @@ class KittiDataset(DatasetTemplate):
         self.point_cap = int(dataset_cfg.get("POINT_CAP", 65536))
         self.max_gt = int(dataset_cfg.get("MAX_GT", 64))
         self.fov_only = bool(dataset_cfg.get("FOV_POINTS_ONLY", True))
+        # train-time augmentation incl. gt_sampling (DataBaseSampler);
+        # reference wires this via DataAugmentor (kitti_dataset.py uses
+        # DatasetTemplate.prepare_data -> data_augmentor.forward)
+        aug_cfg = dataset_cfg.get("DATA_AUGMENTOR", None)
+        self.augmentor = None
+        if training and aug_cfg is not None:
+            from .augmentor import DataAugmentor
+            self.augmentor = DataAugmentor(root, aug_cfg, class_names,
+                                           logger=logger)
+        self.shuffle_points = False
+        for proc in dataset_cfg.get("DATA_PROCESSOR", []):
+            if proc.get("NAME") == "shuffle_points":
+                self.shuffle_points = bool(dict(proc.get(
+                    "SHUFFLE_ENABLED", {})).get(self.mode, False))
 
     def __len__(self):
         return len(self.infos)
@@ -103,8 +165,14 @@ class KittiDataset(DatasetTemplate):
         return self.prepare_outdoor_data(data_dict)
 
     def prepare_outdoor_data(self, data_dict):
-        """Range mask + class filter + pad (augmentation hooks TODO:
-        gt_sampling needs the db pkl)."""
+        """Augment (train) + range mask + class filter + pad."""
+        if self.augmentor is not None:
+            data_dict["gt_boxes_mask"] = np.isin(
+                data_dict["gt_names"], self.class_names)
+            data_dict = self.augmentor.forward(data_dict)
+        if self.shuffle_points:
+            perm = np.random.permutation(len(data_dict["points"]))
+            data_dict["points"] = data_dict["points"][perm]
         pts = data_dict["points"]
         rng = np.asarray(self.dataset_cfg.POINT_CLOUD_RANGE)
         keep = np.all((pts[:, :3] >= rng[:3]) & (pts[:, :3] < rng[3:6]),
@@ -122,7 +190,12 @@ class KittiDataset(DatasetTemplate):
         out_pts = np.zeros((P, pts.shape[1]), np.float32)
         out_val = np.zeros((P,), bool)
         n = min(len(pts), P)
-        sel = np.random.choice(len(pts), n, replace=False) \
+        # per-frame seeded sampling: eval must be deterministic across
+        # runs (reference asserts set_random_seed; round-2 advisor flag)
+        import zlib
+        rs = np.random.RandomState(
+            zlib.crc32(str(data_dict["frame_id"]).encode()) & 0x7FFFFFFF)
+        sel = rs.choice(len(pts), n, replace=False) \
             if len(pts) > P else np.arange(len(pts))
         out_pts[:n] = pts[sel][:n]
         out_val[:n] = True
@@ -136,24 +209,81 @@ class KittiDataset(DatasetTemplate):
                     gt_valid=gv, frame_id=data_dict["frame_id"])
 
     # ------------------------------------------------------------------
+    def _info_for_frame(self, frame_id):
+        if not hasattr(self, "_by_frame"):
+            self._by_frame = {
+                str(i["point_cloud"]["lidar_idx"]): i for i in self.infos}
+        return self._by_frame.get(str(frame_id))
+
     def generate_prediction_dicts(self, batch_dict, pred_dicts,
                                   class_names, output_path=None):
+        """pcdet-format prediction annos (kitti_dataset.py:
+        generate_prediction_dicts): lidar boxes + the camera-frame fields
+        (location/dimensions/rotation_y/alpha/bbox) the official eval
+        consumes, via the per-frame calib from the infos."""
         annos = []
         for i, pd in enumerate(pred_dicts):
-            annos.append(dict(
-                frame_id=np.asarray(batch_dict["frame_id"])[i]
-                if "frame_id" in batch_dict else i,
-                boxes_lidar=np.asarray(pd["pred_boxes"]),
-                score=np.asarray(pd["pred_scores"]),
+            frame_id = np.asarray(batch_dict["frame_id"])[i] \
+                if "frame_id" in batch_dict else i
+            boxes_lidar = np.asarray(pd["pred_boxes"], np.float32)
+            n = len(boxes_lidar)
+            anno = dict(
+                frame_id=frame_id,
+                boxes_lidar=boxes_lidar,
+                score=np.asarray(pd["pred_scores"], np.float32),
                 pred_labels=np.asarray(pd["pred_labels"]),
                 name=np.asarray([class_names[int(l)]
                                  for l in pd["pred_labels"]]),
-            ))
+                truncated=np.zeros(n, np.float32),
+                occluded=np.zeros(n, np.float32),
+            )
+            info = self._info_for_frame(frame_id)
+            calib = (info or {}).get("calib", {})
+            if n and "R0_rect" in calib:
+                R0 = np.asarray(calib["R0_rect"])[:3, :3]
+                V2C = np.asarray(calib["Tr_velo_to_cam"])[:3, :4]
+                cam = boxes_lidar_to_camera(boxes_lidar[:, :7], R0, V2C)
+                anno["location"] = cam[:, 0:3]
+                anno["dimensions"] = cam[:, 3:6]      # l, h, w
+                anno["rotation_y"] = cam[:, 6]
+                anno["alpha"] = (-np.arctan2(-boxes_lidar[:, 1],
+                                             boxes_lidar[:, 0]) + cam[:, 6])
+                if "P2" in calib:
+                    shape = (info.get("image", {}) or {}).get("image_shape")
+                    anno["bbox"] = boxes_camera_to_imageboxes(
+                        cam, np.asarray(calib["P2"]), shape)
+                else:
+                    anno["bbox"] = np.tile(
+                        np.asarray([[0, 0, 100, 100]], np.float32), (n, 1))
+            else:
+                anno["location"] = np.zeros((n, 3), np.float32)
+                anno["dimensions"] = np.zeros((n, 3), np.float32)
+                anno["rotation_y"] = np.zeros(n, np.float32)
+                anno["alpha"] = np.full(n, -10.0, np.float32)
+                anno["bbox"] = np.tile(
+                    np.asarray([[0, 0, 100, 100]], np.float32), (n, 1))
+            annos.append(anno)
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """3D-IoU area-AP per class at [0.7, 0.5, 0.5]-style thresholds
-        (see module docstring for the caveat vs the official protocol)."""
+        """Official KITTI protocol (R11/R40, easy/moderate/hard,
+        bbox/bev/3d/aos) when the infos carry full camera annos;
+        falls back to the indoor-style 3D AP otherwise."""
+        if not self.infos or "annos" not in self.infos[0]:
+            return {}, ""
+        gt0 = self.infos[0]["annos"]
+        if all(k in gt0 for k in
+               ("occluded", "truncated", "bbox", "location")):
+            from .kitti_eval import get_official_eval_result
+            gt_annos = [dict(info["annos"]) for info in self.infos]
+            result_str, result_dict = get_official_eval_result(
+                gt_annos, det_annos, class_names)
+            return result_dict, result_str
+        return self._evaluation_lidar_fallback(det_annos, class_names)
+
+    def _evaluation_lidar_fallback(self, det_annos, class_names):
+        """3D-IoU area-AP over lidar boxes (pre-round-3 stand-in; kept
+        for infos without camera annos, e.g. synthetic pipelines)."""
         from .indoor_eval import indoor_eval
         gt_annos, dt_annos = [], []
         for i, det in enumerate(det_annos):
