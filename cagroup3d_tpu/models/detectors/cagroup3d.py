@@ -39,6 +39,12 @@ class CAGroup3D(Detector3DTemplate):
         self.input_cap = int(model_cfg.get("INPUT_CAP",
                                            self.backbone_3d.caps[1]))
         self.ins_cap = int(model_cfg.get("INS_CAP", 128))
+        # GT-as-proposal augmentation (off by default; not in the
+        # reference): appends jittered GT boxes to the one-stage
+        # proposals in train mode so the RoI branch sees foreground
+        # samples from step 0 (and the multi-chip dryrun exercises the
+        # second-stage gradient path with an untrained one-stage net)
+        self.roi_gt_aug = float(model_cfg.get("ROI_GT_AUG", 0.0))
 
     def init(self, rng) -> Tuple[Params, Params]:
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -104,6 +110,24 @@ class CAGroup3D(Detector3DTemplate):
                 self._forward_scene(P, True, S, points, pvalid, sem_thr, r)
             boxes_n = boxes.at[:, :3].add(-origin[None, :])
             rois, roi_scores, roi_labels, roi_valid = props
+            if self.roi_gt_aug > 0:
+                # jittered GT as extra proposals (mmdet3d heading, like
+                # the one-stage rois: the RoI head flips the sign back)
+                k1, k2 = jax.random.split(ctx.next_rng())
+                scale = self.roi_gt_aug
+                jc = jax.random.normal(k1, boxes_n[:, :3].shape) * \
+                    scale * boxes_n[:, 3:6]
+                js = 1.0 + jax.random.normal(k2, boxes_n[:, 3:6].shape) * \
+                    scale * 0.5
+                aug = jnp.concatenate(
+                    [boxes_n[:, :3] + jc,
+                     jnp.maximum(boxes_n[:, 3:6] * js, 1e-3),
+                     -boxes_n[:, 6:7]], axis=-1)
+                rois = jnp.concatenate([rois, aug], axis=0)
+                roi_scores = jnp.concatenate(
+                    [roi_scores, jnp.where(bvalid, 0.99, 0.0)], axis=0)
+                roi_labels = jnp.concatenate([roi_labels, labels], axis=0)
+                roi_valid = jnp.concatenate([roi_valid, bvalid], axis=0)
             roi_out = self.roi_head.forward_train(
                 P, S, ctx, feat, rois, roi_scores,
                 roi_labels.astype(jnp.int32), roi_valid, boxes_n, labels,
