@@ -131,6 +131,18 @@ class KittiDataset(DatasetTemplate):
     def __len__(self):
         return len(self.infos)
 
+    def collate_batch(self, batch_list, n_classes=None):
+        """Items are already padded to static caps by
+        prepare_outdoor_data — just stack (the template collate assumes
+        6-feature indoor points)."""
+        out = {}
+        for k in batch_list[0]:
+            if k == "frame_id":
+                out[k] = [d[k] for d in batch_list]
+            else:
+                out[k] = np.stack([d[k] for d in batch_list])
+        return out
+
     def get_points(self, idx: str) -> np.ndarray:
         f = self.root_split / "velodyne" / f"{idx}.bin"
         return np.fromfile(f, np.float32).reshape(-1, 4)

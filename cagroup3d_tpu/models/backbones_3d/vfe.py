@@ -31,12 +31,17 @@ class MeanVFE:
 
     def __call__(self, P, S, ctx: Ctx, points, pvalid, voxel_size,
                  pc_range, cap: int, prefix="vfe"):
-        """points [N, 3+F] raw; returns SparseTensor (stride 1 lattice)."""
+        """points [N, 3+F] raw; returns SparseTensor (stride 1 lattice).
+        Voxel feature = mean of the FULL point feature vector incl. xyz
+        (reference mean_vfe.py:25-30 averages points_mean over all
+        num_point_features columns), so the backbone's input_channels
+        equals num_point_features (4 on KITTI)."""
         xyz = points[:, :3] - jnp.asarray(pc_range[:3])
         lat = jnp.floor(xyz / jnp.asarray(voxel_size)).astype(jnp.int32)
-        st, _ = unique_voxels(lat, points[:, 3:], pvalid, cap, mode="mean",
-                              stats=getattr(ctx, "stats", None),
-                              stat_name="vfe")
+        st, _ = unique_voxels(
+            lat, points[:, :self.num_point_features], pvalid, cap,
+            mode="mean", stats=getattr(ctx, "stats", None),
+            stat_name="vfe")
         return st
 
 

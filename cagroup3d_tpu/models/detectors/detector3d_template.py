@@ -81,10 +81,15 @@ class Detector3DTemplate:
         if cfg is None:
             return None
         from ..dense_heads import __all__ as registry
+        # channels flow from the preceding 2D backbone (pcdet passes
+        # model_info_dict['num_bev_features'])
+        in_ch = getattr(getattr(self, "backbone_2d", None),
+                        "num_bev_features", None)
         return registry[cfg.NAME](
             cfg, num_class=self.num_class, class_names=self.class_names,
             grid_size=getattr(self, "grid_size", None),
-            point_cloud_range=getattr(self, "point_cloud_range", None))
+            point_cloud_range=getattr(self, "point_cloud_range", None),
+            input_channels=in_ch)
 
     def build_point_head(self):
         cfg = self._cfg("POINT_HEAD")

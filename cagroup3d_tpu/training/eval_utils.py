@@ -97,8 +97,10 @@ def eval_one_epoch(model, eval_step, params, state, dataset, loader,
         result_dir.mkdir(parents=True, exist_ok=True)
         with open(result_dir / "result.pkl", "wb") as f:
             pickle.dump(det_annos, f)
-    ret_dict, _ = dataset.evaluation(det_annos, class_names)
+    ret_dict, result_str = dataset.evaluation(det_annos, class_names)
+    if isinstance(result_str, str) and result_str:
+        for line in result_str.strip().splitlines():
+            logger.info(line)
     for k, v in sorted(ret_dict.items()):
-        if k.startswith("mAP") or k.startswith("mAR"):
-            logger.info(f"{k}: {v:.4f}")
+        logger.info(f"{k}: {float(v):.4f}")
     return ret_dict

@@ -19,7 +19,7 @@ def second_cfg():
         VOXEL_SIZE=[0.25, 0.25, 0.1],         # grid 64 x 64 x 41
         INPUT_CAP=4096,
         VFE=dict(NAME="MeanVFE", NUM_POINT_FEATURES=4),
-        BACKBONE_3D=dict(NAME="VoxelBackBone8x", IN_CHANNELS=1,
+        BACKBONE_3D=dict(NAME="VoxelBackBone8x", IN_CHANNELS=4,
                          CAPS={1: 4096, 2: 2048, 4: 1024, 8: 512}),
         MAP_TO_BEV=dict(NAME="HeightCompression", NUM_BEV_FEATURES=256),
         BACKBONE_2D=dict(NAME="BaseBEVBackbone", IN_CHANNELS=256,
