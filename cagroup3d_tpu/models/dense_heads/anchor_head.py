@@ -283,8 +283,10 @@ class AnchorHeadSingle:
         return total, tb
 
     # ------------------------------------------------------------------
-    def generate_predicted_boxes(self, outs: Dict):
-        """Per scene: decode + dir correction + class-agnostic NMS."""
+    def decoded_boxes(self, outs: Dict):
+        """Per scene: decode + direction correction, NO NMS — the raw
+        (boxes [A, 7], class scores [A, K]) the two-stage proposal layer
+        consumes (anchor_head_template.generate_predicted_boxes)."""
         anchors = jnp.asarray(self.anchors_np)
         boxes = self.coder.decode(outs["box_preds"], anchors)
         scores = jax.nn.sigmoid(outs["cls_preds"])           # [A, K]
@@ -295,6 +297,11 @@ class AnchorHeadSingle:
                                self.dir_limit_offset, period)
             boxes = boxes.at[..., 6].set(
                 rot + self.dir_offset + period * dir_lab)
+        return boxes, scores
+
+    def generate_predicted_boxes(self, outs: Dict):
+        """Per scene: decode + dir correction + class-agnostic NMS."""
+        boxes, scores = self.decoded_boxes(outs)
         best = jnp.max(scores, axis=-1)
         label = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         nc = self.nms_cfg

@@ -1,12 +1,14 @@
 from .cagroup3d import CAGroup3D
 from .rbgnet import RBGNet
 from .second_net import PointPillar, SECONDNet
+from .pv_rcnn import PVRCNN
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
     "RBGNet": RBGNet,
     "SECONDNet": SECONDNet,
     "PointPillar": PointPillar,
+    "PVRCNN": PVRCNN,
 }
 
 

@@ -67,7 +67,18 @@ class Detector3DTemplate:
         return registry[cfg.NAME](cfg)
 
     def build_pfe(self):
-        return None
+        cfg = self._cfg("PFE")
+        if cfg is None:
+            return None
+        from ..backbones_3d.voxel_set_abstraction import \
+            VoxelSetAbstraction
+        mb = self._cfg("MAP_TO_BEV")
+        return VoxelSetAbstraction(
+            cfg, voxel_size=getattr(self, "voxel_size", None),
+            point_cloud_range=getattr(self, "point_cloud_range", None),
+            num_bev_features=int(mb.NUM_BEV_FEATURES) if mb else None,
+            num_rawpoint_features=int(self._cfg("VFE").get(
+                "NUM_POINT_FEATURES", 4)) if self._cfg("VFE") else 4)
 
     def build_backbone_2d(self):
         cfg = self._cfg("BACKBONE_2D")
@@ -96,14 +107,24 @@ class Detector3DTemplate:
         if cfg is None:
             return None
         from ..dense_heads import __all__ as registry
-        return registry[cfg.NAME](cfg, num_class=self.num_class)
+        pfe = getattr(self, "pfe", None)
+        in_ch = None
+        if pfe is not None:
+            in_ch = pfe.num_point_features_before_fusion if cfg.get(
+                "USE_POINT_FEATURES_BEFORE_FUSION", False) \
+                else pfe.num_point_features
+        return registry[cfg.NAME](cfg, num_class=self.num_class,
+                                  input_channels=in_ch)
 
     def build_roi_head(self):
         cfg = self._cfg("ROI_HEAD")
         if cfg is None:
             return None
         from ..roi_heads import __all__ as registry
-        return registry[cfg.NAME](cfg)
+        pfe = getattr(self, "pfe", None)
+        return registry[cfg.NAME](
+            cfg, num_class=self.num_class,
+            input_channels=getattr(pfe, "num_point_features", None))
 
     # ------------------------------------------------------------------
     def init(self, rng) -> Tuple[Params, Params]:

@@ -1,5 +1,7 @@
 from .cagroup_roi_head import CAGroup3DRoIHead
+from .pvrcnn_head import PVRCNNHead
 
 __all__ = {
     "CAGroup3DRoIHead": CAGroup3DRoIHead,
+    "PVRCNNHead": PVRCNNHead,
 }

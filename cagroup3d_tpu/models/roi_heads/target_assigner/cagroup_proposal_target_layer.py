@@ -95,10 +95,14 @@ class ProposalTargetLayer:
         return jnp.where(is_fg_slot, fg_idx, bg_idx).astype(jnp.int32)
 
     def __call__(self, rng, rois, roi_scores, roi_labels, roi_valid,
-                 gt_boxes, gt_labels, gt_valid) -> Dict[str, jnp.ndarray]:
-        """Per scene.  rois [R, 7] (pcdet heading), gt_boxes [G, 7]
-        (mmdet3d heading — flipped here as in the reference, :97)."""
-        gt_pc = gt_boxes.at[:, 6].multiply(-1.0)
+                 gt_boxes, gt_labels, gt_valid,
+                 flip_gt_heading: bool = True) -> Dict[str, jnp.ndarray]:
+        """Per scene.  rois [R, 7] (pcdet heading); gt_boxes [G, 7] in
+        mmdet3d heading for the CAGroup path (flipped here as in the
+        reference, :97) or already-pcdet heading for the outdoor zoo
+        (``flip_gt_heading=False``; pcdet proposal_target_layer.py:66)."""
+        gt_pc = gt_boxes.at[:, 6].multiply(-1.0) if flip_gt_heading \
+            else gt_boxes
         max_ov, asg = self.max_iou_with_same_class(
             rois, roi_labels, roi_valid, gt_pc, gt_labels, gt_valid)
         sel = self.sample(rng, max_ov, roi_valid)
