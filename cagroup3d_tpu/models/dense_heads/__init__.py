@@ -2,10 +2,12 @@ from .anchor_head import AnchorHeadSingle
 from .cagroup_head import CAGroup3DHead
 from .rbg_head import RBGHead
 from .point_head_simple import PointHeadSimple
+from .center_head import CenterHead
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
     "CAGroup3DHead": CAGroup3DHead,
     "RBGHead": RBGHead,
     "PointHeadSimple": PointHeadSimple,
+    "CenterHead": CenterHead,
 }

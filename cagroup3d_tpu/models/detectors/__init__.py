@@ -2,6 +2,7 @@ from .cagroup3d import CAGroup3D
 from .rbgnet import RBGNet
 from .second_net import PointPillar, SECONDNet
 from .pv_rcnn import PVRCNN
+from .centerpoint import CenterPoint
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -9,6 +10,7 @@ __all__ = {
     "SECONDNet": SECONDNet,
     "PointPillar": PointPillar,
     "PVRCNN": PVRCNN,
+    "CenterPoint": CenterPoint,
 }
 
 

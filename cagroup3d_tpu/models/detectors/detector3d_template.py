@@ -100,6 +100,7 @@ class Detector3DTemplate:
             cfg, num_class=self.num_class, class_names=self.class_names,
             grid_size=getattr(self, "grid_size", None),
             point_cloud_range=getattr(self, "point_cloud_range", None),
+            voxel_size=getattr(self, "voxel_size", None),
             input_channels=in_ch)
 
     def build_point_head(self):

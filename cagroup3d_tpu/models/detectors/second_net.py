@@ -49,10 +49,15 @@ class SECONDNet(Detector3DTemplate):
                 bits[2] = max(need[2], 30 - bits[0] - bits[1])
             hashing.set_key_bits(*bits)
         self.input_cap = int(model_cfg.get("INPUT_CAP", 65536))
-        self.module_list = self.build_networks()
         if self.class_names is None:
-            self.class_names = [a["class_name"] for a in
-                                model_cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG]
+            dh = model_cfg.DENSE_HEAD
+            if dh.get("ANCHOR_GENERATOR_CONFIG") is not None:
+                self.class_names = [a["class_name"] for a in
+                                    dh.ANCHOR_GENERATOR_CONFIG]
+            else:   # CenterHead: classes come from the head groups
+                self.class_names = [c for g in dh.CLASS_NAMES_EACH_HEAD
+                                    for c in g]
+        self.module_list = self.build_networks()
 
     def init(self, rng) -> Tuple[Params, Params]:
         P, S = {}, {}
