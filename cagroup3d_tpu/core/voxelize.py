@@ -21,7 +21,7 @@ from .sparse import PAD_COORD, SparseTensor
 
 def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
                   cap: int, mode: str = "mean", stats: dict = None,
-                  stat_name: str = "unique"
+                  stat_name: str = "unique", drop_offset=None
                   ) -> Tuple[SparseTensor, jnp.ndarray]:
     """Deduplicate lattice coords, reducing features per voxel.
 
@@ -37,39 +37,79 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
       (SparseTensor with stride=1 semantics over `lat` units,
        inverse i32[P]: output row of each input point, -1 if dropped).
     """
+    import jax
+
     P = lat.shape[0]
     keys = pack_coords(lat, valid)
-    order = jnp.argsort(keys)
-    sk = keys[order]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    sk, order = jax.lax.sort((keys, iota), dimension=0, num_keys=1)
     head = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    uid_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1  # rank of each row's voxel
-    ok_sorted = (sk != INVALID_KEY) & (uid_sorted < cap)
+    ok = sk != INVALID_KEY
+    uid_sorted = jnp.cumsum((head & ok).astype(jnp.int32)) - 1
+    ok_sorted = ok & (uid_sorted < cap)
     if stats is not None:
-        n_unique = jnp.sum((head & (sk != INVALID_KEY)).astype(jnp.int32))
+        n_unique = jnp.sum((head & ok).astype(jnp.int32))
         stats[f"overflow/{stat_name}"] = jnp.maximum(n_unique - cap, 0)
 
-    # Output coords: scatter the first occurrence of each voxel.
-    slot_for_coord = jnp.where(head & ok_sorted, uid_sorted, cap)
-    out_coords = (jnp.full((cap + 1, 3), PAD_COORD, jnp.int32)
-                  .at[slot_for_coord].set(lat[order]))[:cap]
+    # per-voxel row ranges by rank counting on the sorted uid sequence
+    # (see unique_voxels_classes_paired) — replaces the per-row scatters,
+    # which dominate on TPU (scatter cost is per ROW)
+    n_uni = jnp.sum((head & ok).astype(jnp.int32))
+    vq = _window_ranks(n_uni, cap, drop_offset)                  # [1, cap]
+    uid2 = jnp.where(ok, uid_sorted, jnp.int32(1 << 30))[None]   # [1, P]
+    start = _count_sorted(uid2, vq, strict=True)[0]              # [cap]
+    end = _count_sorted(uid2, vq, strict=False)[0] - 1
+    cnt = jnp.maximum(end - start + 1, 0)
+    out_valid = cnt > 0
 
-    # Inverse map in original row order.
+    first_row = jnp.take(order, jnp.clip(start, 0, P - 1))       # [cap]
+    out_coords = jnp.where(out_valid[:, None],
+                           jnp.take(lat, first_row, axis=0), PAD_COORD)
+
+    # Inverse map in original row order (one int scatter; callers need it
+    # for vote targets / RoI scatter-back).
+    if drop_offset is None:
+        slot = uid_sorted
+        kept = ok_sorted
+    else:
+        o_eff = jnp.where(n_uni > cap,
+                          jnp.asarray(drop_offset, jnp.int32) %
+                          jnp.maximum(n_uni, 1), 0)
+        wrap = jnp.maximum(o_eff + cap - n_uni, 0)
+        r = uid_sorted
+        slot = jnp.where(r < wrap, r, r - o_eff + wrap)
+        kept = ok & ((r < wrap) | (r >= o_eff)) & (slot < cap) & \
+            (slot >= 0)
     uid = jnp.zeros((P,), jnp.int32).at[order].set(
-        jnp.where(ok_sorted, uid_sorted, -1))
+        jnp.where(kept, slot, -1))
 
-    seg = jnp.where(uid >= 0, uid, cap)
-    cnt = jnp.zeros((cap + 1,), jnp.int32).at[seg].add(1)[:cap]
     if mode == "mean":
-        ssum = jnp.zeros((cap + 1, feats.shape[-1]), feats.dtype).at[seg].add(
-            jnp.where(valid[:, None], feats, 0.0))[:cap]
-        out_feats = ssum / jnp.maximum(cnt, 1)[:, None]
+        F = feats.shape[-1]
+        fs = jnp.take(jnp.where(valid[:, None], feats, 0.0), order,
+                      axis=0)
+        CH = 128 if P % 128 == 0 else 1
+        NCH = P // CH
+        local = jnp.cumsum(fs.reshape(NCH, CH, F).astype(jnp.float32),
+                           axis=1)
+        tot = local[:, -1, :]
+        choff = jnp.concatenate(
+            [jnp.zeros_like(tot[:1]), jnp.cumsum(tot, axis=0)[:-1]], 0)
+        localf = local.reshape(P, F)
+
+        def prefix_at(p):
+            return jnp.take(localf, p, axis=0) + \
+                jnp.take(choff, p // CH, axis=0)
+
+        s_end = prefix_at(jnp.maximum(end, 0))
+        s_before = prefix_at(jnp.maximum(start - 1, 0))
+        s_before = jnp.where((start > 0)[:, None], s_before, 0.0)
+        out_feats = ((s_end - s_before) /
+                     jnp.maximum(cnt, 1)[:, None]).astype(feats.dtype)
     elif mode == "first":
-        out_feats = jnp.zeros((cap + 1, feats.shape[-1]), feats.dtype).at[
-            slot_for_coord].set(feats[order])[:cap]
+        out_feats = jnp.take(feats, first_row, axis=0)
     else:
         raise ValueError(mode)
 
-    out_valid = cnt > 0
     out_feats = jnp.where(out_valid[:, None], out_feats, 0.0)
     st = SparseTensor(out_coords, out_feats, out_valid, stride=1)
     return st, uid
@@ -167,10 +207,73 @@ def stride_reduce_coords(st: SparseTensor, factor: int, cap: int,
     return out, inv
 
 
+def _count_sorted(u: jnp.ndarray, m, strict: bool) -> jnp.ndarray:
+    """Per class, #entries of the SORTED i32[G, P] sequence ``u`` that are
+    < q (strict) or <= q (not) for queries q = 0..m-1 (or an explicit
+    query array i32[G, m]).  Two-level lookup: block leads narrow the
+    block, one gathered 128-row block refines — ~P/128 row gathers per
+    class instead of a P-row scatter."""
+    import jax
+
+    G, P = u.shape
+    CH = 128 if P % 128 == 0 else 1
+    R = P // CH
+    leads = u[:, ::CH]                                    # [G, R]
+    if isinstance(m, int):
+        q = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (G, m))
+    else:
+        q = m
+        m = q.shape[1]
+    # pick the single block where the q-boundary crosses.  u is NOT
+    # unique (uid runs), so the lead comparison must match the count's
+    # strictness: strict -> block of the first element >= q (all blocks
+    # with lead < q precede or contain it), non-strict -> first > q.
+    if strict:
+        ge = q[:, :, None] > leads[:, None, :]            # lead < q
+    else:
+        ge = q[:, :, None] >= leads[:, None, :]           # lead <= q
+    r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
+    rows = jnp.take(u.reshape(G * R, CH),
+                    (r + (jnp.arange(G, dtype=jnp.int32) * R)[:, None]
+                     ).reshape(-1), axis=0).reshape(G, m, CH)
+    if strict:
+        c = jnp.sum((rows < q[..., None]).astype(jnp.int32), axis=-1)
+    else:
+        c = jnp.sum((rows <= q[..., None]).astype(jnp.int32), axis=-1)
+    return r * CH + c
+
+
+def _count_sorted_lt(u, m):
+    return _count_sorted(u, m, strict=True)
+
+
+def _count_sorted_le(u, m):
+    return _count_sorted(u, m, strict=False)
+
+
+def _window_ranks(n_unique, cap: int, drop_offset):
+    """Voxel ranks kept under capacity overflow: a CYCLIC window
+    [o, o+cap) mod n of the key-rank order instead of always the
+    smallest keys (round-2 verdict item 9: the smallest-keys policy
+    sheds a deterministic spatial corner slab; the rotated window keeps
+    the output key-sorted — slots in ascending rank — while the dropped
+    region moves every step).  drop_offset None -> o = 0 (deterministic
+    eval).  n_unique i32[G] (or scalar); returns i32[G, cap] ranks."""
+    s = jnp.arange(cap, dtype=jnp.int32)[None]
+    n = jnp.asarray(n_unique, jnp.int32).reshape(-1, 1)
+    if drop_offset is None:
+        return jnp.broadcast_to(s, (n.shape[0], cap))
+    o = jnp.where(n > cap,
+                  jnp.asarray(drop_offset, jnp.int32) %
+                  jnp.maximum(n, 1), 0)
+    wrap = jnp.maximum(o + cap - n, 0)
+    return jnp.where(s < wrap, s, s + o - wrap)
+
+
 def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
                                  valid: jnp.ndarray, cap_fine: int,
                                  cap_coarse: int, coarse_factor: int,
-                                 stats: dict = None):
+                                 stats: dict = None, drop_offset=None):
     """Build the fine map AND its ``coarse_factor``-times-coarser map with
     one FULL-SIZE sort (the dense head's per-class fine + expand
     re-voxelizations, cagroup_head.py:257-271).
@@ -195,9 +298,12 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     G, P, _ = lat.shape
     F = feats.shape[-1]
     keys = pack_coords(lat, valid)                        # [G, P]
+    # one sort carries the permutation alongside the keys: measured
+    # 4.4 ms at [18, 65536] vs 12.3 ms for argsort + a row gather of the
+    # keys (row-granularity gathers dominate).  The variadic sort is
+    # expensive to COMPILE (~334 s cold through the remote service) but
+    # the persistent compile cache amortizes it.
     iota = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (G, P))
-    # one sort carries the permutation alongside the keys (argsort + a
-    # separate key gather would pay the sort network twice)
     sk, order = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
     # sorted lattice coords by UNPACKING the sorted keys (pure ALU; avoids
     # a 1.2M-row gather of 12-byte rows)
@@ -213,37 +319,52 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     # ---- fine map ----
     head = jnp.concatenate(
         [jnp.ones((G, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1)
-    tail = jnp.concatenate(
-        [sk[:, 1:] != sk[:, :-1], jnp.ones((G, 1), bool)], axis=1)
     ok = sk != INVALID_KEY
     uid = jnp.cumsum((head & ok).astype(jnp.int32), axis=1) - 1
-    keep = ok & (uid < cap_fine)
     if stats is not None:
         n_unique = jnp.sum((head & ok).astype(jnp.int32), axis=1)
         stats["overflow/head_fine"] = jnp.sum(
             jnp.maximum(n_unique - cap_fine, 0))
-    cls0 = (jnp.arange(G, dtype=jnp.int32) * (cap_fine + 1))[:, None]
-    slot_h = jnp.where(head & keep, uid, cap_fine) + cls0
-    slot_t = jnp.where(tail & keep, uid, cap_fine) + cls0
-    f_coords = (jnp.full((G * (cap_fine + 1), 3), PAD_COORD, jnp.int32)
-                .at[slot_h.reshape(-1)].set(lat_s.reshape(-1, 3)))
-    f_coords = f_coords.reshape(G, cap_fine + 1, 3)[:, :cap_fine]
-    # segment sums via an f32 prefix scan + boundary gathers: streaming
-    # cumsum beats a 1.2M-row scatter-add by ~5x on TPU
-    S = jnp.cumsum(feats_s.reshape(G, P, F).astype(jnp.float32), axis=1)
-    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (G, P))
-    start = (jnp.full((G * (cap_fine + 1),), 0, jnp.int32)
-             .at[slot_h.reshape(-1)].set(pos.reshape(-1)))
-    end = (jnp.full((G * (cap_fine + 1),), -1, jnp.int32)
-           .at[slot_t.reshape(-1)].set(pos.reshape(-1)))
-    start = start.reshape(G, cap_fine + 1)[:, :cap_fine]
-    end = end.reshape(G, cap_fine + 1)[:, :cap_fine]
+    # per-voxel row ranges by RANK COUNTING on the (non-decreasing) uid
+    # sequence instead of head/tail scatters: three 1.2M-row scatters
+    # become two 74k-row block gathers (scatter/gather cost on TPU is
+    # per ROW, so this is ~16x less index traffic)
+    n_uni_g = jnp.sum((head & ok).astype(jnp.int32), axis=1)
+    vq = _window_ranks(n_uni_g, cap_fine, drop_offset)  # [G, cap_fine]
+    uid2 = jnp.where(ok, uid, jnp.int32(1 << 30))     # sorted (invalid last)
+    start = _count_sorted(uid2, vq, strict=True)      # [G, cap_fine]
+    end = _count_sorted(uid2, vq, strict=False) - 1
+    # segment sums via a TWO-LEVEL f32 prefix scan + boundary gathers:
+    # a chunk-local cumsum (log 128 = 7 shifted adds) plus a tiny
+    # chunk-offset scan halves the HBM passes of the full-width scan
+    # (log P = 16), and both beat a 1.2M-row scatter-add by ~5x on TPU
+    CH = 128 if P % 128 == 0 else 1
+    NCH = P // CH
+    fs3 = feats_s.reshape(G, NCH, CH, F).astype(jnp.float32)
+    local = jnp.cumsum(fs3, axis=2)                  # [G, NCH, CH, F]
+    tot = local[:, :, -1, :]                         # [G, NCH, F]
+    choff = jnp.concatenate(
+        [jnp.zeros_like(tot[:, :1]), jnp.cumsum(tot, axis=1)[:, :-1]],
+        axis=1)                                      # [G, NCH, F]
     f_cnt = jnp.maximum(end - start + 1, 0)
     rowP2 = (jnp.arange(G, dtype=jnp.int32) * P)[:, None]
-    Sf = S.reshape(G * P, F)
-    s_end = jnp.take(Sf, (jnp.maximum(end, 0) + rowP2).reshape(-1), axis=0)
-    s_before = jnp.take(Sf, (jnp.maximum(start - 1, 0) + rowP2).reshape(-1),
-                        axis=0)
+    # voxel coords: gather the first row of each segment
+    f_coords = jnp.take(lat_s.reshape(-1, 3),
+                        (jnp.clip(start, 0, P - 1) + rowP2).reshape(-1),
+                        axis=0).reshape(G, cap_fine, 3)
+    f_coords = jnp.where((f_cnt > 0)[..., None], f_coords, PAD_COORD)
+    rowC2 = (jnp.arange(G, dtype=jnp.int32) * NCH)[:, None]
+    localf = local.reshape(G * P, F)
+    chofff = choff.reshape(G * NCH, F)
+
+    def prefix_at(p):
+        """S[p] = choff[p // CH] + local[p] (p [G, cap_fine] >= 0)."""
+        a = jnp.take(localf, (p + rowP2).reshape(-1), axis=0)
+        b = jnp.take(chofff, (p // CH + rowC2).reshape(-1), axis=0)
+        return a + b
+
+    s_end = prefix_at(jnp.maximum(end, 0))
+    s_before = prefix_at(jnp.maximum(start - 1, 0))
     s_before = jnp.where((start.reshape(-1) > 0)[:, None], s_before, 0.0)
     f_sum = (s_end - s_before).reshape(G, cap_fine, F)
     f_valid = f_cnt > 0

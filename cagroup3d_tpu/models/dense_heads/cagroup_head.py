@@ -219,7 +219,8 @@ class CAGroup3DHead:
                           vox_sizes[:, None, :]).astype(jnp.int32)
         (fc, ff, fv), (cc, cf, cv) = unique_voxels_classes_paired(
             lat_f, feats_all, sel_t, self.fine_cap, self.expand_cap,
-            self.expand, stats=ctx.stats)
+            self.expand, stats=ctx.stats,
+            drop_offset=getattr(ctx, "drop_offset", None))
         fine = SparseTensor(fc, ff, fv, 1)
         coarse = SparseTensor(cc, cf, cv, 1)
         # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice

@@ -61,7 +61,8 @@ class CAGroup3D(Detector3DTemplate):
             self.semantic_min_threshold)
 
     # ------------------------------------------------------------------
-    def _voxelize_scene(self, points, valid, stats=None):
+    def _voxelize_scene(self, points, valid, stats=None,
+                        drop_offset=None):
         """points [P, 6] (xyz, rgb 0..255) -> (SparseTensor stride 1,
         origin metric [3], normalized points [P, 3])."""
         v = self.voxel_size
@@ -74,7 +75,8 @@ class CAGroup3D(Detector3DTemplate):
         lat = lat - min_lat[None, :]
         origin = min_lat.astype(jnp.float32) * v
         st, _ = unique_voxels(lat, rgb, valid, self.input_cap, mode="first",
-                              stats=stats, stat_name="input")
+                              stats=stats, stat_name="input",
+                              drop_offset=drop_offset)
         return st, origin, xyz - origin[None, :]
 
     def _forward_scene(self, P: Params, train: bool, S: Params, points,
@@ -84,8 +86,14 @@ class CAGroup3D(Detector3DTemplate):
         # opt-in: MXU conv kernels during training (vmapped Pallas blocks
         # grow with the per-device batch; safe for B <= 2)
         ctx.mxu_train = bool(self.model_cfg.get("MXU_TRAIN", False))
+        # train: capacity overflow sheds a randomly rotated rank window
+        # instead of a fixed spatial corner slab (core/voxelize.py)
+        drop_off = jax.random.randint(ctx.next_rng(), (), 0, 1 << 30) \
+            if train else None
+        ctx.drop_offset = drop_off
         st, origin, pts_norm = self._voxelize_scene(points, pvalid,
-                                                    stats=ctx.stats)
+                                                    stats=ctx.stats,
+                                                    drop_offset=drop_off)
         feat = self.backbone_3d(P, S, ctx, st)
         head_out = self.dense_head.forward(P, S, ctx, feat, sem_thr)
         rois, roi_scores, roi_labels, roi_valid = \

@@ -120,9 +120,23 @@ class CAGroup3DRoIHead:
                                  self.grid_cap, mode="first",
                                  stats=ctx.stats, stat_name="roi_grid")
         qcoords = ded.coords * self.coord_key       # raw units on st lattice
-        f = scan_conv_grouped(st.coords, st.valid, st.feats, st.stride,
-                              qcoords, ded.valid, self.roi_conv_kernel,
-                              P[pl + ".grid_conv.kernel"])
+        w = P[pl + ".grid_conv.kernel"]
+        use_mxu = (jax.default_backend() == "tpu" and
+                   self.coord_key == st.stride and
+                   ded.cap % 128 == 0 and st.cap % 128 == 0 and
+                   (not ctx.train or getattr(ctx, "mxu_train", False)))
+        if use_mxu:
+            # conv-at-coords on the MXU kernel: queries are the deduped
+            # grid lattice (key-sorted by construction), source is the
+            # (key-sorted) backbone table
+            from ...ops.pallas_conv import conv_at_coords_mxu
+            f = conv_at_coords_mxu(st.coords, st.valid, st.masked_feats(),
+                                   st.stride, ded.coords, ded.valid,
+                                   self.roi_conv_kernel, w)
+        else:
+            f = scan_conv_grouped(st.coords, st.valid, st.feats, st.stride,
+                                  qcoords, ded.valid, self.roi_conv_kernel,
+                                  w)
         f = apply_bn(P, S, ctx, pl + ".grid_bn", f, ded.valid)
         f = jnp.where(ded.valid[:, None], elu(f), 0.0)
 

@@ -56,20 +56,25 @@ _SLAB_FOR = {128: 192, 256: 320}
 
 
 def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
-                 w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N, QW,
-                 SLAB):
+                 w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N, NQ,
+                 QW, SLAB):
     """Grid is (G,) ONLY, with the dx offset scanned inside the kernel:
     vmap prepends batch grid dimensions, so any pl.program_id(i) use for
     semantics would silently read the wrong axis under batching (the
     round-2 NaN bug).  This body never touches program_id; batching just
-    adds leading index_map dims."""
+    adds leading index_map dims.
+
+    N: source-table rows (keys_col/feats); NQ: query rows (keys_row/out).
+    NQ == N for submanifold convs; conv-at-coords passes a separate
+    sorted query key table (the RoI head's grid_conv,
+    cagroup_roi_head.py:69)."""
     h = K // 2
-    NB = N // QW
+    NB = NQ // QW
     invalid = int(INVALID_KEY)
     (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     zmask = ez - 1
 
-    out_ref[0] = jnp.zeros((N, Cout), jnp.float32)
+    out_ref[0] = jnp.zeros((NQ, Cout), jnp.float32)
     keys_row = keys_row_ref[0]                        # [NB, QW]
     xd = jax.lax.shift_right_logical(keys_row, sx)
     yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
@@ -110,13 +115,17 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     # so mask them or their matches double-count
                     fresh = (s + jax.lax.broadcasted_iota(
                         jnp.int32, (SLAB, 1), 0)) >= cov
-                    # per-dz one-hot gather on the MXU: genuine z-neighbor
-                    # iff both the packed key and the z digit differ by
-                    # exactly dz (rejects borrows across the z field)
+                    # shared selector: genuine z-neighbor iff the packed
+                    # key and the z digit move by the same dz (rejects
+                    # borrows across the z field).  One select up front,
+                    # then a single equality compare per dz keeps the
+                    # one-hot generation off the VPU critical path (the
+                    # matmuls themselves are only ~40% of kernel time).
+                    q = jnp.where((d == zdl) & fresh, d,
+                                  jnp.int32(1 << 20))          # [SLAB, QW]
                     gs = []
                     for dz in range(-h, h + 1):
-                        e = ((d == dz) & (zdl == dz) &
-                             fresh).astype(jnp.bfloat16)
+                        e = (q == dz).astype(jnp.bfloat16)
                         gs.append(jax.lax.dot_general(
                             e, fs, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32))  # [QW, C]
@@ -146,17 +155,19 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
     jax.lax.fori_loop(0, K, dx_body, 0)
 
 
-def _rank_bounds(skeys, K):
-    """Per-(class, dx, dy, 128-block) rank window [lo, hi] that can contain
-    key matches tk+dz, dz in [-h, h].  All-XLA, flat gathers.
+def _rank_bounds(qkeys, skeys, K):
+    """Per-(class, dx, dy, 128-query-block) rank window [lo, hi] of the
+    SOURCE table that can contain key matches tk+dz, dz in [-h, h].
+    All-XLA, flat gathers.
 
-    skeys: i32[G, N] sorted per class.  Returns i32[G, K, K, NB, 2].
+    qkeys: i32[G, NQ] sorted query keys (== skeys for submanifold convs);
+    skeys: i32[G, N] sorted source keys.  Returns i32[G, K, K, NBq, 2].
     """
     G, N = skeys.shape
-    NB = N // _LANE
+    NB = qkeys.shape[1] // _LANE
     h = K // 2
     (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
-    rows = skeys.reshape(G, NB, _LANE)
+    rows = qkeys.reshape(G, NB, _LANE)
     xd = jax.lax.shift_right_logical(rows, sx)
     yd = jax.lax.shift_right_logical(rows, sy) & (ey - 1)
     valid = rows < INVALID_KEY
@@ -197,24 +208,29 @@ def _rank_bounds(skeys, K):
 
 
 def _pallas_forward(coords, valid, feats, w, kernel_size: int,
-                    stride: int = 1):
+                    stride: int = 1, qlat=None, qvalid=None):
+    """qlat/qvalid: optional separate sorted query lattice (conv-at-
+    coords), in units of the SOURCE lattice // stride."""
     G, N, C = feats.shape
     K = kernel_size
     Cout = w.shape[-1]
-    QW = _QW if N % _QW == 0 and N >= _SLAB_FOR[_QW] else _LANE
-    SLAB = _SLAB_FOR[QW]
-    assert N % QW == 0 and N >= SLAB, (N, QW, SLAB)
-    NB = N // QW
 
     lat = jnp.floor_divide(coords, stride) if stride != 1 else coords
     skeys = pack_coords(lat, valid)                              # [G, N]
-    lo, hi = _rank_bounds(skeys, K)
+    qkeys = skeys if qlat is None else pack_coords(qlat, qvalid)
+    NQ = qkeys.shape[1]
+    QW = _QW if NQ % _QW == 0 and N >= _SLAB_FOR[_QW] else _LANE
+    SLAB = _SLAB_FOR[QW]
+    assert NQ % QW == 0 and N % _LANE == 0 and N >= SLAB, (NQ, N, QW)
+    NB = NQ // QW
+
+    lo, hi = _rank_bounds(qkeys, skeys, K)
     if QW != _LANE:
         r = QW // _LANE
         lo = jnp.min(lo.reshape(G, K, K, NB, r), axis=-1)
         hi = jnp.max(hi.reshape(G, K, K, NB, r), axis=-1)
     keys_col = skeys.reshape(G, N, 1)
-    keys_row = skeys.reshape(G, NB, QW)
+    keys_row = qkeys.reshape(G, NB, QW)
     featsb = jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16)
     # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]; the whole dx
     # axis rides in the class block (dx is scanned inside the kernel)
@@ -223,7 +239,7 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
           .reshape(G, K, K, K * C, Cout))
 
     kern = functools.partial(_conv_kernel, K=K, C=C, Cout=Cout, N=N,
-                             QW=QW, SLAB=SLAB)
+                             NQ=NQ, QW=QW, SLAB=SLAB)
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kern,
@@ -243,9 +259,9 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                          lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, Cout), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, NQ, Cout), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, N, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, NQ, Cout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((NB, QW), jnp.int32),
             pltpu.VMEM((NB, QW), jnp.int32),
@@ -256,7 +272,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(lo, hi, keys_col, keys_row, featsb, w2)
-    return jnp.where(valid[..., None], out, 0.0)
+    ov = valid if qlat is None else qvalid
+    return jnp.where(ov[..., None], out, 0.0)
 
 
 def mxu_conv_vmem_bytes(N, C, Cout, K):
@@ -307,3 +324,43 @@ def subm_conv_mxu(st_coords, st_valid, st_feats, w, kernel_size: int,
                                 st_feats[None], w[None], kernel_size,
                                 stride)
     return out[0]
+
+
+def conv_at_coords_mxu(src_coords, src_valid, src_feats, src_stride: int,
+                       qlat, qvalid, kernel_size: int, w):
+    """Single-table conv-at-coords: evaluate a K^3 conv over the source
+    sparse tensor AT a separate sorted query lattice (the RoI head's
+    grid_conv on backbone voxels, reference cagroup_roi_head.py:69).
+
+    src_coords i32[N, 3] raw-lattice coords (key-sorted by
+    coords//stride); qlat i32[NQ, 3] query coords in src//stride units,
+    key-sorted with invalid rows last (unique_voxels layout);
+    w [K^3, Cin, Cout].  MXU-fused forward + XLA-vjp backward
+    (core.sparse_conv.scan_conv_grouped).
+    """
+    from ..core.sparse_conv import scan_conv_grouped
+
+    @jax.custom_vjp
+    def f(src_coords, src_valid, src_feats, qlat, qvalid, w):
+        return _pallas_forward(
+            src_coords[None], src_valid[None], src_feats[None], w[None],
+            kernel_size, src_stride, qlat=qlat[None],
+            qvalid=qvalid[None])[0]
+
+    def fwd(src_coords, src_valid, src_feats, qlat, qvalid, w):
+        return f(src_coords, src_valid, src_feats, qlat, qvalid, w), \
+            (src_coords, src_valid, src_feats, qlat, qvalid, w)
+
+    def bwd(res, g):
+        src_coords, src_valid, src_feats, qlat, qvalid, w = res
+        _, vjp = jax.vjp(
+            lambda fe, we: scan_conv_grouped(
+                src_coords, src_valid, fe, src_stride,
+                qlat * src_stride, qvalid, kernel_size, we),
+            src_feats, w)
+        dfe, dwe = vjp(g)
+        z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        return (z(src_coords), z(src_valid), dfe, z(qlat), z(qvalid), dwe)
+
+    f.defvjp(fwd, bwd)
+    return f(src_coords, src_valid, src_feats, qlat, qvalid, w)

@@ -348,3 +348,52 @@ def test_generative_up_classes_matches_scan(rng):
     err = np.abs(np.asarray(ref) - np.asarray(out)).max() / \
         (np.abs(np.asarray(ref)).max() + 1e-9)
     assert err < 2e-2, err
+
+
+def test_overflow_drop_window_rotates():
+    """With drop_offset set, capacity overflow sheds a rotated rank
+    window instead of always the largest keys; output stays key-sorted
+    and the inverse map points at the kept slots (round-2 verdict 9)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cagroup3d_tpu.core.voxelize import unique_voxels
+    from cagroup3d_tpu.core.hashing import pack_coords
+
+    rs = np.random.RandomState(0)
+    P, CAP = 400, 64
+    lat = jnp.asarray(rs.randint(0, 12, (P, 3)).astype(np.int32))
+    feats = jnp.asarray(rs.randn(P, 4).astype(np.float32))
+    valid = jnp.ones(P, bool)
+
+    st0, inv0 = unique_voxels(lat, feats, valid, CAP, mode="mean")
+    kept_sets = []
+    for off in (None, 7, 12345, 999999):
+        st, inv = unique_voxels(lat, feats, valid, CAP, mode="mean",
+                                drop_offset=off)
+        keys = np.asarray(pack_coords(st.coords, st.valid))
+        kv = keys[np.asarray(st.valid)]
+        assert (np.diff(kv) > 0).all(), "output must stay key-sorted"
+        assert int(st.valid.sum()) == CAP
+        kept_sets.append({tuple(r) for r in
+                          np.asarray(st.coords)[np.asarray(st.valid)]})
+        # inverse agrees with the output table
+        invn = np.asarray(inv)
+        cn = np.asarray(st.coords)
+        latn = np.asarray(lat)
+        for i in range(0, P, 37):
+            if invn[i] >= 0:
+                assert (cn[invn[i]] == latn[i]).all()
+        # per-voxel means are exact for kept voxels
+        ref = {}
+        for i in range(P):
+            ref.setdefault(tuple(latn[i]), []).append(
+                np.asarray(feats)[i])
+        fn = np.asarray(st.feats)
+        for s in range(CAP):
+            m = np.mean(ref[tuple(cn[s])], axis=0)
+            np.testing.assert_allclose(fn[s], m, rtol=1e-5, atol=1e-5)
+    # different offsets keep different windows
+    assert kept_sets[1] != kept_sets[2]
+    # offset None == offset-free behavior
+    assert kept_sets[0] == {tuple(r) for r in
+                            np.asarray(st0.coords)[np.asarray(st0.valid)]}

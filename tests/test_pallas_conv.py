@@ -123,3 +123,52 @@ def test_multislab_tail_clamp_no_double_count():
         assert err < 2e-2, err
     finally:
         hashing.set_key_bits(*old)
+
+
+def test_conv_at_coords_matches_xla():
+    """conv-at-coords variant (queries != table; the RoI head's
+    grid_conv) against scan_conv_grouped."""
+    from cagroup3d_tpu.core.voxelize import unique_voxels
+    from cagroup3d_tpu.core.sparse_conv import scan_conv_grouped
+    from cagroup3d_tpu.ops.pallas_conv import conv_at_coords_mxu
+
+    rs = np.random.RandomState(4)
+    P, C, CAP, QCAP = 700, 32, 512, 256
+    lat = rs.randint(0, 12, (P, 3)).astype(np.int32)
+    feats = rs.randn(P, C).astype(np.float32)
+    valid = rs.rand(P) > 0.2
+    st, _ = unique_voxels(jnp.asarray(lat), jnp.asarray(feats),
+                          jnp.asarray(valid), CAP, mode="mean")
+    qpts = rs.randint(0, 12, (600, 3)).astype(np.int32)
+    qv = rs.rand(600) > 0.3
+    qded, _ = unique_voxels(jnp.asarray(qpts),
+                            jnp.zeros((600, 1), np.float32),
+                            jnp.asarray(qv), QCAP, mode="first")
+    w = jnp.asarray(rs.randn(125, C, C).astype(np.float32) * 0.1)
+    out = conv_at_coords_mxu(st.coords, st.valid, st.masked_feats(), 1,
+                             qded.coords, qded.valid, 5, w)
+    ref = scan_conv_grouped(st.coords, st.valid, st.feats, 1,
+                            qded.coords, qded.valid, 5, w)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max() / \
+        (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert err < 2e-2, err
+    assert (np.asarray(out)[~np.asarray(qded.valid)] == 0).all()
+
+    # gradients flow through the XLA-vjp backward
+    def loss(f, ww):
+        return jnp.sum(conv_at_coords_mxu(
+            st.coords, st.valid, f, 1, qded.coords, qded.valid, 5,
+            ww) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(st.masked_feats(), w)
+
+    def loss_ref(f, ww):
+        return jnp.sum(scan_conv_grouped(
+            st.coords, st.valid, f, 1, qded.coords, qded.valid, 5,
+            ww) ** 2)
+
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(st.masked_feats(), w)
+    for a, b in zip(g1, g2):
+        e = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-9)
+        assert e < 5e-2, e
