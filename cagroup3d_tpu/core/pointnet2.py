@@ -83,7 +83,13 @@ def three_nn(unknown: jnp.ndarray, unknown_valid: jnp.ndarray,
     d2 = jnp.where(known_valid[None, :], d2, BIG)
     neg = -d2
     topv, topi = jax.lax.top_k(neg, 3)
-    return jnp.sqrt(jnp.maximum(-topv, 0.0)), topi.astype(jnp.int32)
+    # The reference ThreeNN op (pointnet2_batch/pointnet2_utils.py:76) is
+    # marked non-differentiable and ThreeInterpolate's backward treats the
+    # weights as constants; stop_gradient matches that AND avoids the
+    # sqrt(0) -> inf backward when a known point coincides with an unknown
+    # one (always true at FP levels: the SA centers are raw-point subsets).
+    dist = jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(-topv, 0.0)))
+    return dist, topi.astype(jnp.int32)
 
 
 def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,

@@ -1,10 +1,12 @@
 from .biresnet import BiResNet
 from .pointnet2_fbs_backbone import PointNet2FBSBackbone
 from .spconv_backbone import VoxelBackBone8x
+from .pointnet2_backbone import PointNet2MSG
 
 __all__ = {
     "BiResNet": BiResNet,
     "PointNet2_FBS_SSG": PointNet2FBSBackbone,
     "PointNet2FBSBackbone": PointNet2FBSBackbone,
     "VoxelBackBone8x": VoxelBackBone8x,
+    "PointNet2MSG": PointNet2MSG,
 }

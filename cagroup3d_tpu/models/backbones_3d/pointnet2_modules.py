@@ -105,3 +105,48 @@ class FPModule:
         x = apply_shared_mlp(P, S, ctx, path + ".mlp", x, fine_valid,
                              len(self.mlp) - 1)
         return jnp.where(fine_valid[:, None], x, 0.0)
+
+
+class SAModuleMSG:
+    """Multi-scale-grouping set abstraction (PointnetSAModuleMSG,
+    reference pointnet2_batch/pointnet2_modules.py): one FPS center set,
+    several (radius, nsample, mlp) groups, channel-concat outputs."""
+
+    def __init__(self, npoint: int, radii: List[float],
+                 nsamples: List[int], mlps: List[List[int]],
+                 use_xyz: bool = True):
+        assert len(radii) == len(nsamples) == len(mlps)
+        self.npoint = npoint
+        self.radii = [float(r) for r in radii]
+        self.nsamples = [int(n) for n in nsamples]
+        self.use_xyz = use_xyz
+        self.mlps = [([m[0] + 3] if use_xyz else [m[0]]) + m[1:]
+                     for m in mlps]
+        self.num_out = sum(m[-1] for m in self.mlps)
+
+    def init(self, rng, path: str) -> Tuple[Params, Params]:
+        P: Params = {}
+        S: Params = {}
+        for gi, m in enumerate(self.mlps):
+            init_shared_mlp(P, S, jax.random.fold_in(rng, gi),
+                            f"{path}.mlps.{gi}", m)
+        return P, S
+
+    def __call__(self, P, S, ctx: Ctx, path: str, xyz, feats, valid,
+                 sample_idx: Optional[jnp.ndarray] = None):
+        if sample_idx is None:
+            sample_idx = pn2.farthest_point_sample(xyz, valid, self.npoint)
+        new_xyz = jnp.take(xyz, sample_idx, axis=0)
+        new_valid = jnp.take(valid, sample_idx, axis=0)
+        outs = []
+        for gi, (radius, nsample, m) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            grouped, _, _ = pn2.query_and_group(
+                radius, nsample, xyz, valid, new_xyz, new_valid,
+                feats=feats, use_xyz=self.use_xyz)
+            h = apply_shared_mlp(P, S, ctx, f"{path}.mlps.{gi}", grouped,
+                                 new_valid[:, None], len(m) - 1)
+            outs.append(jnp.max(h, axis=1))
+        new_feats = jnp.concatenate(outs, axis=-1)
+        new_feats = jnp.where(new_valid[:, None], new_feats, 0.0)
+        return new_xyz, new_feats, new_valid, sample_idx

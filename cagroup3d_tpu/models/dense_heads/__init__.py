@@ -3,6 +3,7 @@ from .cagroup_head import CAGroup3DHead
 from .rbg_head import RBGHead
 from .point_head_simple import PointHeadSimple
 from .center_head import CenterHead
+from .point_head_box import PointHeadBox
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
@@ -10,4 +11,5 @@ __all__ = {
     "RBGHead": RBGHead,
     "PointHeadSimple": PointHeadSimple,
     "CenterHead": CenterHead,
+    "PointHeadBox": PointHeadBox,
 }

@@ -3,6 +3,7 @@ from .rbgnet import RBGNet
 from .second_net import PointPillar, SECONDNet
 from .pv_rcnn import PVRCNN
 from .centerpoint import CenterPoint
+from .point_rcnn import PointRCNN
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -11,6 +12,7 @@ __all__ = {
     "PointPillar": PointPillar,
     "PVRCNN": PVRCNN,
     "CenterPoint": CenterPoint,
+    "PointRCNN": PointRCNN,
 }
 
 

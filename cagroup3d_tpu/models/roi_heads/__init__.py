@@ -1,7 +1,9 @@
 from .cagroup_roi_head import CAGroup3DRoIHead
 from .pvrcnn_head import PVRCNNHead
+from .pointrcnn_head import PointRCNNHead
 
 __all__ = {
     "CAGroup3DRoIHead": CAGroup3DRoIHead,
     "PVRCNNHead": PVRCNNHead,
+    "PointRCNNHead": PointRCNNHead,
 }
