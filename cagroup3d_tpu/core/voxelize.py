@@ -75,7 +75,8 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
         o_eff = jnp.where(n_uni > cap,
                           jnp.asarray(drop_offset, jnp.int32) %
                           jnp.maximum(n_uni, 1), 0)
-        wrap = jnp.maximum(o_eff + cap - n_uni, 0)
+        wrap = jnp.where(n_uni > cap,
+                         jnp.maximum(o_eff + cap - n_uni, 0), 0)
         r = uid_sorted
         slot = jnp.where(r < wrap, r, r - o_eff + wrap)
         kept = ok & ((r < wrap) | (r >= o_eff)) & (slot < cap) & \
@@ -266,7 +267,10 @@ def _window_ranks(n_unique, cap: int, drop_offset):
     o = jnp.where(n > cap,
                   jnp.asarray(drop_offset, jnp.int32) %
                   jnp.maximum(n, 1), 0)
-    wrap = jnp.maximum(o + cap - n, 0)
+    # no overflow -> identity window (wrap MUST be 0, else ranks
+    # [0, cap-n) would be emitted twice: once at slot s and again at
+    # slot s + cap - n)
+    wrap = jnp.where(n > cap, jnp.maximum(o + cap - n, 0), 0)
     return jnp.where(s < wrap, s, s + o - wrap)
 
 

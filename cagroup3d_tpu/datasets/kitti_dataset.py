@@ -182,8 +182,13 @@ class KittiDataset(DatasetTemplate):
             data_dict["gt_boxes_mask"] = np.isin(
                 data_dict["gt_names"], self.class_names)
             data_dict = self.augmentor.forward(data_dict)
+        # per-frame seeded RNG: eval must be deterministic across runs
+        # (reference asserts set_random_seed; round-2 advisor flag)
+        import zlib
+        rs = np.random.RandomState(
+            zlib.crc32(str(data_dict["frame_id"]).encode()) & 0x7FFFFFFF)
         if self.shuffle_points:
-            perm = np.random.permutation(len(data_dict["points"]))
+            perm = rs.permutation(len(data_dict["points"]))
             data_dict["points"] = data_dict["points"][perm]
         pts = data_dict["points"]
         rng = np.asarray(self.dataset_cfg.POINT_CLOUD_RANGE)
@@ -202,11 +207,6 @@ class KittiDataset(DatasetTemplate):
         out_pts = np.zeros((P, pts.shape[1]), np.float32)
         out_val = np.zeros((P,), bool)
         n = min(len(pts), P)
-        # per-frame seeded sampling: eval must be deterministic across
-        # runs (reference asserts set_random_seed; round-2 advisor flag)
-        import zlib
-        rs = np.random.RandomState(
-            zlib.crc32(str(data_dict["frame_id"]).encode()) & 0x7FFFFFFF)
         sel = rs.choice(len(pts), n, replace=False) \
             if len(pts) > P else np.arange(len(pts))
         out_pts[:n] = pts[sel][:n]

@@ -397,3 +397,33 @@ def test_overflow_drop_window_rotates():
     # offset None == offset-free behavior
     assert kept_sets[0] == {tuple(r) for r in
                             np.asarray(st0.coords)[np.asarray(st0.valid)]}
+
+
+def test_overflow_drop_window_no_overflow_identity():
+    """drop_offset with NO overflow must be the identity: every voxel
+    exactly once, matching the offset-None map (regression: wrap was
+    cap-n when n<cap, duplicating ranks < wrap and corrupting training
+    maps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cagroup3d_tpu.core.voxelize import unique_voxels
+
+    rs = np.random.RandomState(1)
+    P, CAP = 256, 128
+    lat = jnp.asarray(rs.randint(0, 4, (P, 3)).astype(np.int32))  # <=64 uniq
+    feats = jnp.asarray(rs.randn(P, 4).astype(np.float32))
+    valid = jnp.asarray(rs.rand(P) > 0.2)
+
+    st0, inv0 = unique_voxels(lat, feats, valid, CAP, mode="mean")
+    for off in (0, 3, 98765):
+        st, inv = unique_voxels(lat, feats, valid, CAP, mode="mean",
+                                drop_offset=off)
+        np.testing.assert_array_equal(np.asarray(st.valid),
+                                      np.asarray(st0.valid))
+        np.testing.assert_array_equal(np.asarray(st.coords),
+                                      np.asarray(st0.coords))
+        np.testing.assert_allclose(np.asarray(st.feats),
+                                   np.asarray(st0.feats), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(inv), np.asarray(inv0))
+        coords = np.asarray(st.coords)[np.asarray(st.valid)]
+        assert len({tuple(r) for r in coords}) == len(coords)
