@@ -17,6 +17,8 @@ Per-scene functions; batch via vmap.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -72,14 +74,38 @@ def voxel_query(voxel_coords, voxel_valid, queries_lat, qvalid,
     """Voxel-hash neighbor query (voxel_query_gpu.cu): for each query
     lattice coordinate, the voxel rows at all offsets within
     [-max_range, max_range]^3.  Returns i32[M, (2r+1)^3] (-1 = absent)."""
-    sorted_keys, row_of_rank = build_index(voxel_coords, voxel_valid)
     offs = []
     r = max_range
     for dx in range(-r, r + 1):
         for dy in range(-r, r + 1):
             for dz in range(-r, r + 1):
                 offs.append((dx, dy, dz))
-    offs = jnp.asarray(offs, jnp.int32)                    # [K, 3]
+    return voxel_query_offsets(voxel_coords, voxel_valid, queries_lat,
+                               qvalid, np.asarray(offs, np.int32))
+
+
+def nearest_offsets(max_range: int, cap: int) -> np.ndarray:
+    """The ``cap`` lattice offsets of [-r, r]^3 closest to the origin
+    (ties broken by scan order).  Static; used to bound voxel-query
+    neighborhoods: since a lattice offset addresses at most ONE voxel,
+    querying the cap nearest offsets is the static-shape analogue of the
+    reference's 'first nsample found' subsampling (voxel_query_gpu.cu
+    scan order) with a better-than-reference proximity bias."""
+    r = max_range
+    offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                                np.arange(-r, r + 1), indexing="ij"),
+                    -1).reshape(-1, 3)
+    d2 = (offs ** 2).sum(-1)
+    order = np.argsort(d2, kind="stable")
+    return offs[order[:min(cap, len(offs))]].astype(np.int32)
+
+
+def voxel_query_offsets(voxel_coords, voxel_valid, queries_lat, qvalid,
+                        offsets) -> jnp.ndarray:
+    """voxel_query with an explicit static offset list i32[K, 3].
+    Returns i32[M, K] voxel rows (-1 = absent)."""
+    sorted_keys, row_of_rank = build_index(voxel_coords, voxel_valid)
+    offs = jnp.asarray(offsets, jnp.int32)                 # [K, 3]
     q = queries_lat[None, :, :] + offs[:, None, :]
     K, M = offs.shape[0], queries_lat.shape[0]
     rows = lookup(sorted_keys, row_of_rank, q.reshape(K * M, 3),

@@ -4,6 +4,7 @@ from .second_net import PointPillar, SECONDNet
 from .pv_rcnn import PVRCNN
 from .centerpoint import CenterPoint
 from .point_rcnn import PointRCNN
+from .voxel_rcnn import VoxelRCNN
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -13,6 +14,7 @@ __all__ = {
     "PVRCNN": PVRCNN,
     "CenterPoint": CenterPoint,
     "PointRCNN": PointRCNN,
+    "VoxelRCNN": VoxelRCNN,
 }
 
 
