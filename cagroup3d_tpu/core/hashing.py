@@ -72,9 +72,14 @@ def build_index(lat: jnp.ndarray, valid: jnp.ndarray):
     ascending order with invalid rows pushed to the end as INVALID_KEY,
     ``row_of_rank[r]`` = original row index of the r-th smallest key.
     """
+    import jax
     keys = pack_coords(lat, valid)
-    order = jnp.argsort(keys)
-    return keys[order], order.astype(jnp.int32)
+    # unit-batch pair sort: the 1-D sort + gather formulation lowers to
+    # the slow TPU path (44.6 ms at N=65536 vs 2.4 ms batched)
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sk, order = jax.lax.sort((keys[None], iota[None]), dimension=1,
+                             num_keys=1)
+    return sk[0], order[0]
 
 
 _LANE = 128
@@ -103,8 +108,9 @@ def _lookup_keys_onehot(sorted_keys, row_of_rank, qk):
     # stage B: fetch the row contents with a 128-wide ROW gather (the fast
     # TPU gather shape; scalar gathers and [Q, R] one-hot matmuls are both
     # pathological at full capacities) and match within lanes.
-    rows_k = jnp.take(k2, r, axis=0)            # [Q, 128]
-    rows_v = jnp.take(v2, r, axis=0)
+    from .gather import take_rows
+    rows_k = take_rows(k2, r)                   # [Q, 128]
+    rows_v = take_rows(v2, r)
     eq = rows_k == qk[:, None]
     hit = jnp.any(eq, axis=1) & (qk != INVALID_KEY)
     val = jnp.sum(jnp.where(eq, rows_v, 0), axis=1)
@@ -171,11 +177,12 @@ def lookup_z_window(sorted_keys, row_of_rank, base_lat, base_valid,
     zd = base_lat[:, 2] + _MARGIN
     ge = qk[:, None] >= leads[None, :]
     c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R2 - 1)
-    row0 = jnp.take(T, c, axis=0)
+    from .gather import take_rows as _tr
+    row0 = _tr(T, c)
     k0, v0 = row0[:, :64], row0[:, 64:]
     cnt = jnp.sum((k0 <= qk[:, None]).astype(jnp.int32), axis=1)
     adj = jnp.clip(jnp.where(cnt <= 32, c - 1, c + 1), 0, R2 - 1)
-    row1 = jnp.take(T, adj, axis=0)
+    row1 = _tr(T, adj)
     k1 = jnp.where((adj == c)[:, None], INVALID_KEY, row1[:, :64])
     wk = jnp.concatenate([k0, k1], axis=1)                   # [Q, 128]
     wv = jnp.concatenate([v0, row1[:, 64:]], axis=1)

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .gather import take_rows
 
 BIG = 1e10
 
@@ -98,13 +99,13 @@ def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,
     feats [M, C], idx [N, 3], dist [N, 3] -> [N, C]."""
     recip = 1.0 / jnp.maximum(dist * dist, 1e-8)
     w = recip / jnp.sum(recip, axis=1, keepdims=True)
-    g = jnp.take(feats, idx, axis=0)               # [N, 3, C]
+    g = take_rows(feats, idx)                      # [N, 3, C]
     return jnp.sum(g * w[..., None], axis=1)
 
 
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """GatherOperation: feats [P, C], idx [M] -> [M, C]."""
-    return jnp.take(feats, idx, axis=0)
+    return take_rows(feats, idx)
 
 
 def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from . import pointnet2 as pn2
 from .hashing import build_index, lookup
+from .gather import take_rows
 
 # re-exported stack-surface ops (padded-batch equivalents)
 farthest_point_sample = pn2.farthest_point_sample
@@ -49,7 +50,7 @@ def vector_pool(queries, qvalid, points, pvalid, feats, radius: float,
     idx, found = pn2.ball_query(radius, nsample, points, pvalid, queries,
                                 qvalid)
     # first-found replication would bias the means: build a real mask
-    nb_xyz = jnp.take(points, idx, axis=0)                 # [M, K, 3]
+    nb_xyz = take_rows(points, idx)                        # [M, K, 3]
     rel = nb_xyz - queries[:, None, :]
     d2 = jnp.sum(rel ** 2, axis=-1)
     real = (d2 < radius ** 2) & found[:, None] & qvalid[:, None]
@@ -62,7 +63,7 @@ def vector_pool(queries, qvalid, points, pvalid, feats, radius: float,
     cid = (cell[..., 0] * dense + cell[..., 1]) * dense + cell[..., 2]
     oh = jax.nn.one_hot(jnp.where(keep, cid, D3), D3 + 1,
                         dtype=feats.dtype)[..., :D3]       # [M, K, D3]
-    nb_f = jnp.concatenate([rel, jnp.take(feats, idx, axis=0)], -1)
+    nb_f = jnp.concatenate([rel, take_rows(feats, idx)], -1)
     sums = jnp.einsum("mkd,mkc->mdc", oh, nb_f)
     cnt = jnp.sum(oh, axis=1)                              # [M, D3]
     mean = sums / jnp.maximum(cnt, 1.0)[..., None]

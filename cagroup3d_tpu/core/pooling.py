@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .hashing import build_index, lookup
 from .sparse import SparseTensor
 from .voxelize import stride_reduce_coords
+from .gather import take_rows
 
 _DELTAS = np.array(list(itertools.product((-1, 0, 1), repeat=3)), np.int32)
 _CORNERS = np.array(list(itertools.product((0, 1), repeat=3)), np.int32)
@@ -73,6 +74,6 @@ def interpolate_at(src: SparseTensor, query: jnp.ndarray,
         cc = jnp.asarray(corner, jnp.int32)
         w = jnp.prod(jnp.where(cc[None, :] == 1, frac, 1.0 - frac), axis=-1)
         row = lookup(sorted_keys, row_of_rank, c0 + cc[None, :], query_valid)
-        f = jnp.take(feats, jnp.maximum(row, 0), axis=0)
+        f = take_rows(feats, jnp.maximum(row, 0))
         out = out + jnp.where((row >= 0)[:, None], f * w[:, None], 0.0)
     return jnp.where(query_valid[:, None], out, 0.0)

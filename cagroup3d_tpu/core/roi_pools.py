@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .gather import take_rows
 
 BIG = 1e10
 
@@ -107,7 +108,7 @@ def roipoint_pool3d(rois, rvalid, points, pvalid, feats,
     first = jnp.where(found[:, 0], idx[:, 0], 0)
     idx = jnp.where(found, idx, first[:, None])
     pooled = jnp.concatenate(
-        [jnp.take(points, idx, axis=0), jnp.take(feats, idx, axis=0)], -1)
+        [take_rows(points, idx), take_rows(feats, idx)], -1)
     empty = ~jnp.any(inside, axis=1)
     pooled = jnp.where(empty[:, None, None], 0.0, pooled)
     return pooled, empty

@@ -26,6 +26,7 @@ import numpy as np
 from .kernel_maps import conv_offsets, neighbor_table, transpose_offsets
 from .sparse import SparseTensor
 from .voxelize import stride_reduce_coords
+from .gather import take_rows
 
 
 def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
@@ -44,7 +45,7 @@ def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
 
     def step(acc, xs):
         w_k, nbr_k = xs
-        f = jnp.take(feats, jnp.maximum(nbr_k, 0), axis=0)
+        f = take_rows(feats, jnp.maximum(nbr_k, 0))
         f = jnp.where((nbr_k >= 0)[:, None], f, 0.0)
         acc = acc + jnp.dot(f, w_k,
                             preferred_element_type=jnp.float32)
@@ -80,7 +81,7 @@ def scan_conv(src_coords: jnp.ndarray, src_valid: jnp.ndarray,
         div_ok = jnp.all(q % src_stride == 0, axis=-1)
         row = lookup(sorted_keys, row_of_rank, jnp.floor_divide(q, src_stride),
                      div_ok & tgt_valid)
-        f = jnp.take(feats, jnp.maximum(row, 0), axis=0)
+        f = take_rows(feats, jnp.maximum(row, 0))
         f = jnp.where((row >= 0)[:, None], f, 0.0)
         return acc + jnp.dot(f, w_k, preferred_element_type=jnp.float32), None
 
@@ -141,11 +142,11 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
                          jnp.broadcast_to(tgt_valid, (k, N)).reshape(-1))
         ge = qk[:, None] >= leads[None, :]
         c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0, R2 - 1)
-        row0 = jnp.take(T, c, axis=0)                       # [kN, 128]
+        row0 = take_rows(T, c)                              # [kN, 128]
         k0, v0 = row0[:, :64], row0[:, 64:]
         cnt = jnp.sum((k0 <= qk[:, None]).astype(jnp.int32), axis=1)
         adj = jnp.clip(jnp.where(cnt <= 32, c - 1, c + 1), 0, R2 - 1)
-        row1 = jnp.take(T, adj, axis=0)
+        row1 = take_rows(T, adj)
         k1 = jnp.where((adj == c)[:, None], INVALID_KEY, row1[:, :64])
         wk = jnp.concatenate([k0, k1], axis=1)              # [kN, 128]
         wv = jnp.concatenate([v0, row1[:, 64:]], axis=1)
@@ -165,7 +166,7 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
         nbr = jnp.stack(nbr).reshape(k, k, N)               # [dz, dy, N]
         for dy in range(k):
             idx = nbr[:, dy, :]                              # [k(dz), N]
-            g = jnp.take(feats, jnp.maximum(idx, 0).reshape(-1), axis=0)
+            g = take_rows(feats, jnp.maximum(idx, 0).reshape(-1))
             g = jnp.where((idx >= 0).reshape(-1)[:, None], g, 0)
             g = g.reshape(k, N, -1)                          # [dz, N, Cin]
             acc = acc + jax.lax.dot_general(
@@ -248,7 +249,7 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
         # stage A: 64-chunk within class by lead counting
         ge = qk[..., None] >= leads[:, None, None, :]          # [G,k,N,R2]
         c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R2 - 1)
-        row0 = jnp.take(T, (c + cls_row0).reshape(-1), axis=0)  # [Q, 128]
+        row0 = take_rows(T, (c + cls_row0).reshape(-1))     # [Q, 128]
         k0, v0 = row0[:, :64], row0[:, 64:]
         qkf = qk.reshape(-1)
         cf = (c + cls_row0).reshape(-1)
@@ -259,7 +260,7 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
         adj = jnp.where(low_side, cl - 1, cl + 1)
         adj = jnp.clip(adj, 0, R2 - 1)
         dup = adj == cl
-        row1 = jnp.take(T, (adj + (cf - cl)).reshape(-1), axis=0)
+        row1 = take_rows(T, (adj + (cf - cl)).reshape(-1))
         k1 = jnp.where(dup[:, None], INVALID_KEY, row1[:, :64])
         wk = jnp.concatenate([k0, k1], axis=1)                 # [Q, 128]
         wv = jnp.concatenate([v0, row1[:, 64:]], axis=1)
@@ -276,7 +277,7 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
             hit = jnp.any(eq, axis=1) & ok
             row = jnp.sum(jnp.where(eq, wv, 0), axis=1)        # [G*k*N]
             row = row.reshape(G, k, N) + cls_feat0
-            g = jnp.take(feats_flat, row.reshape(-1), axis=0)
+            g = take_rows(feats_flat, row.reshape(-1))
             g = jnp.where(hit[:, None], g, 0).reshape(G, k, N, Cin)
             # accumulate: per class and dy-group matmul on MXU
             acc = acc + jnp.einsum(
@@ -329,13 +330,13 @@ def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
         # exact match lives in its lead chunk: one combined-row fetch
         ge = qk[..., None] >= leads[:, None, :]
         c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R2 - 1)
-        row = jnp.take(T, (c + cls_row0).reshape(-1), axis=0)  # [Q, 128]
+        row = take_rows(T, (c + cls_row0).reshape(-1))      # [Q, 128]
         rows_k, rows_v = row[:, :64], row[:, 64:]
         qf = qk.reshape(-1)
         eq = rows_k == qf[:, None]
         hit = jnp.any(eq, axis=1) & (qf != INVALID_KEY)
         row = jnp.sum(jnp.where(eq, rows_v, 0), axis=1).reshape(G, N)
-        g = jnp.take(feats_flat, (row + cls_feat0).reshape(-1), axis=0)
+        g = take_rows(feats_flat, (row + cls_feat0).reshape(-1))
         g = jnp.where(hit[:, None], g, 0).reshape(G, N, Cin)
         acc = acc + jnp.einsum("gnc,gco->gno", g, w_k,
                                preferred_element_type=jnp.float32)
@@ -454,8 +455,8 @@ def generative_up_classes(src_coords, src_valid, src_feats, factor: int,
     ge = qk[..., None] >= leads[:, None, :]
     c = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
     rowsel = (c + (jnp.arange(G, dtype=jnp.int32) * R)[:, None]).reshape(-1)
-    rows_k = jnp.take(k2, rowsel, axis=0).reshape(G, N, 128)
-    rows_v = jnp.take(v2, rowsel, axis=0).reshape(G, N, 128)
+    rows_k = take_rows(k2, rowsel).reshape(G, N, 128)
+    rows_v = take_rows(v2, rowsel).reshape(G, N, 128)
     eq = rows_k == qk[..., None]
     hit = jnp.any(eq, axis=-1) & (qk != INVALID_KEY)
     row = jnp.sum(jnp.where(eq, rows_v, 0), axis=-1)
@@ -463,7 +464,7 @@ def generative_up_classes(src_coords, src_valid, src_feats, factor: int,
     feats_flat = jnp.where(src_valid[..., None], src_feats, 0.0).astype(
         compute_dtype).reshape(G * M, Cin)
     rowf = row + (jnp.arange(G, dtype=jnp.int32) * M)[:, None]
-    fpar = jnp.take(feats_flat, rowf.reshape(-1), axis=0).reshape(G, N, Cin)
+    fpar = take_rows(feats_flat, rowf.reshape(-1)).reshape(G, N, Cin)
     fpar = jnp.where(hit[..., None], fpar, 0)
 
     wc = w.astype(compute_dtype)

@@ -38,11 +38,25 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
        inverse i32[P]: output row of each input point, -1 if dropped).
     """
     import jax
+    from .gather import take1, take_rows
 
-    P = lat.shape[0]
+    P0 = lat.shape[0]
+    # pad to a lane multiple: _count_sorted degrades to a full [cap, P]
+    # compare when P % 128 != 0 (CH=1), and the chunked prefix sums lose
+    # their 128-wide blocks
+    P = -(-P0 // 128) * 128
+    if P != P0:
+        lat = jnp.pad(lat, ((0, P - P0), (0, 0)))
+        feats = jnp.pad(feats, ((0, P - P0), (0, 0)))
+        valid = jnp.pad(valid, (0, P - P0))
     keys = pack_coords(lat, valid)
     iota = jnp.arange(P, dtype=jnp.int32)
-    sk, order = jax.lax.sort((keys, iota), dimension=0, num_keys=1)
+    # NB: the 1-D (dimension=0) variadic sort lowers to a catastrophic
+    # path on TPU (measured 91 ms at P=100k); the identical sort with a
+    # unit batch dim and dimension=1 runs in 2.4 ms.  Keep the batch dim.
+    sk, order = jax.lax.sort((keys[None], iota[None]), dimension=1,
+                             num_keys=1)
+    sk, order = sk[0], order[0]
     head = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     ok = sk != INVALID_KEY
     uid_sorted = jnp.cumsum((head & ok).astype(jnp.int32)) - 1
@@ -62,9 +76,9 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
     cnt = jnp.maximum(end - start + 1, 0)
     out_valid = cnt > 0
 
-    first_row = jnp.take(order, jnp.clip(start, 0, P - 1))       # [cap]
+    first_row = take1(order, jnp.clip(start, 0, P - 1))          # [cap]
     out_coords = jnp.where(out_valid[:, None],
-                           jnp.take(lat, first_row, axis=0), PAD_COORD)
+                           take_rows(lat, first_row), PAD_COORD)
 
     # Inverse map in original row order (one int scatter; callers need it
     # for vote targets / RoI scatter-back).
@@ -82,13 +96,12 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
         kept = ok & ((r < wrap) | (r >= o_eff)) & (slot < cap) & \
             (slot >= 0)
     uid = jnp.zeros((P,), jnp.int32).at[order].set(
-        jnp.where(kept, slot, -1))
+        jnp.where(kept, slot, -1))[:P0]
 
     if mode == "mean":
         F = feats.shape[-1]
-        fs = jnp.take(jnp.where(valid[:, None], feats, 0.0), order,
-                      axis=0)
-        CH = 128 if P % 128 == 0 else 1
+        fs = take_rows(jnp.where(valid[:, None], feats, 0.0), order)
+        CH = 128
         NCH = P // CH
         local = jnp.cumsum(fs.reshape(NCH, CH, F).astype(jnp.float32),
                            axis=1)
@@ -98,8 +111,7 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
         localf = local.reshape(P, F)
 
         def prefix_at(p):
-            return jnp.take(localf, p, axis=0) + \
-                jnp.take(choff, p // CH, axis=0)
+            return take_rows(localf, p) + take_rows(choff, p // CH)
 
         s_end = prefix_at(jnp.maximum(end, 0))
         s_before = prefix_at(jnp.maximum(start - 1, 0))
@@ -107,7 +119,7 @@ def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
         out_feats = ((s_end - s_before) /
                      jnp.maximum(cnt, 1)[:, None]).astype(feats.dtype)
     elif mode == "first":
-        out_feats = jnp.take(feats, first_row, axis=0)
+        out_feats = take_rows(feats, first_row)
     else:
         raise ValueError(mode)
 
@@ -234,9 +246,9 @@ def _count_sorted(u: jnp.ndarray, m, strict: bool) -> jnp.ndarray:
     else:
         ge = q[:, :, None] >= leads[:, None, :]           # lead <= q
     r = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=-1) - 1, 0, R - 1)
-    rows = jnp.take(u.reshape(G * R, CH),
-                    (r + (jnp.arange(G, dtype=jnp.int32) * R)[:, None]
-                     ).reshape(-1), axis=0).reshape(G, m, CH)
+    # batched row fetch (take_along_axis keeps the class batch dim; the
+    # flattened unbatched take hits the slow TPU gather path)
+    rows = jnp.take_along_axis(u.reshape(G, R, CH), r[..., None], axis=1)
     if strict:
         c = jnp.sum((rows < q[..., None]).astype(jnp.int32), axis=-1)
     else:
@@ -317,8 +329,9 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
         [(jax.lax.shift_right_logical(sk, sx) & (ex - 1)),
          (jax.lax.shift_right_logical(sk, sy) & (ey - 1)),
          sk & (ez - 1)], axis=-1) - _MARGIN               # [G, P, 3]
-    feats_s = jnp.take(feats.astype(jnp.bfloat16), order.reshape(-1),
-                       axis=0)                            # [G*P, F] bf16
+    from .gather import take_rows
+    feats_s = take_rows(feats.astype(jnp.bfloat16), order.reshape(-1))
+    # [G*P, F] bf16 (batched gather formulation; core/gather.py)
 
     # ---- fine map ----
     head = jnp.concatenate(
@@ -351,21 +364,22 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
         [jnp.zeros_like(tot[:, :1]), jnp.cumsum(tot, axis=1)[:, :-1]],
         axis=1)                                      # [G, NCH, F]
     f_cnt = jnp.maximum(end - start + 1, 0)
-    rowP2 = (jnp.arange(G, dtype=jnp.int32) * P)[:, None]
     # voxel coords: gather the first row of each segment
-    f_coords = jnp.take(lat_s.reshape(-1, 3),
-                        (jnp.clip(start, 0, P - 1) + rowP2).reshape(-1),
-                        axis=0).reshape(G, cap_fine, 3)
+    f_coords = jnp.take_along_axis(
+        lat_s, jnp.clip(start, 0, P - 1)[..., None], axis=1)
     f_coords = jnp.where((f_cnt > 0)[..., None], f_coords, PAD_COORD)
-    rowC2 = (jnp.arange(G, dtype=jnp.int32) * NCH)[:, None]
     localf = local.reshape(G * P, F)
     chofff = choff.reshape(G * NCH, F)
 
+    localg = local.reshape(G, P, F)
+
     def prefix_at(p):
-        """S[p] = choff[p // CH] + local[p] (p [G, cap_fine] >= 0)."""
-        a = jnp.take(localf, (p + rowP2).reshape(-1), axis=0)
-        b = jnp.take(chofff, (p // CH + rowC2).reshape(-1), axis=0)
-        return a + b
+        """S[p] = choff[p // CH] + local[p] (p [G, cap_fine] >= 0);
+        per-class batched take_along_axis (the flattened unbatched take
+        hits the slow TPU gather path)."""
+        a = jnp.take_along_axis(localg, p[..., None], axis=1)
+        b = jnp.take_along_axis(choff, (p // CH)[..., None], axis=1)
+        return (a + b).reshape(G * cap_fine, F)
 
     s_end = prefix_at(jnp.maximum(end, 0))
     s_before = prefix_at(jnp.maximum(start - 1, 0))
@@ -380,13 +394,11 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     lat_c = jnp.floor_divide(f_coords, coarse_factor)
     keys_c = pack_coords(lat_c, f_valid)
     order2 = jnp.argsort(keys_c, axis=1).astype(jnp.int32)
-    rowF = (jnp.arange(G, dtype=jnp.int32) * cap_fine)[:, None]
-    flat2 = (order2 + rowF).reshape(-1)
-    sk_c = jnp.take(keys_c.reshape(-1), flat2).reshape(G, cap_fine)
-    lat_c_s = jnp.take(lat_c.reshape(-1, 3), flat2, axis=0
-                       ).reshape(G, cap_fine, 3)
-    sum_s = jnp.take(f_sum.reshape(-1, F), flat2, axis=0)   # [G*capf, F]
-    cnt_s = jnp.take(f_cnt.reshape(-1), flat2)
+    sk_c = jnp.take_along_axis(keys_c, order2, axis=1)
+    lat_c_s = jnp.take_along_axis(lat_c, order2[..., None], axis=1)
+    sum_s = jnp.take_along_axis(f_sum, order2[..., None], axis=1
+                                ).reshape(G * cap_fine, F)
+    cnt_s = jnp.take_along_axis(f_cnt, order2, axis=1).reshape(-1)
 
     head2 = jnp.concatenate(
         [jnp.ones((G, 1), bool), sk_c[:, 1:] != sk_c[:, :-1]], axis=1)
