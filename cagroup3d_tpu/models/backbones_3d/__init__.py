@@ -2,6 +2,7 @@ from .biresnet import BiResNet
 from .pointnet2_fbs_backbone import PointNet2FBSBackbone
 from .spconv_backbone import VoxelBackBone8x
 from .pointnet2_backbone import PointNet2MSG
+from .spconv_unet import UNetV2
 
 __all__ = {
     "BiResNet": BiResNet,
@@ -9,4 +10,5 @@ __all__ = {
     "PointNet2FBSBackbone": PointNet2FBSBackbone,
     "VoxelBackBone8x": VoxelBackBone8x,
     "PointNet2MSG": PointNet2MSG,
+    "UNetV2": UNetV2,
 }

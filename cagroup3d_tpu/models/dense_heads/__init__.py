@@ -4,6 +4,7 @@ from .rbg_head import RBGHead
 from .point_head_simple import PointHeadSimple
 from .center_head import CenterHead
 from .point_head_box import PointHeadBox
+from .point_intra_part_head import PointIntraPartOffsetHead
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
@@ -12,4 +13,5 @@ __all__ = {
     "PointHeadSimple": PointHeadSimple,
     "CenterHead": CenterHead,
     "PointHeadBox": PointHeadBox,
+    "PointIntraPartOffsetHead": PointIntraPartOffsetHead,
 }

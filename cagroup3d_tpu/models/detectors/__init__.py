@@ -5,6 +5,7 @@ from .pv_rcnn import PVRCNN
 from .centerpoint import CenterPoint
 from .point_rcnn import PointRCNN
 from .voxel_rcnn import VoxelRCNN
+from .parta2_net import PartA2Net
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -15,6 +16,7 @@ __all__ = {
     "CenterPoint": CenterPoint,
     "PointRCNN": PointRCNN,
     "VoxelRCNN": VoxelRCNN,
+    "PartA2Net": PartA2Net,
 }
 
 

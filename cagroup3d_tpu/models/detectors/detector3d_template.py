@@ -114,6 +114,9 @@ class Detector3DTemplate:
             in_ch = pfe.num_point_features_before_fusion if cfg.get(
                 "USE_POINT_FEATURES_BEFORE_FUSION", False) \
                 else pfe.num_point_features
+        if in_ch is None:   # point-feature backbones (UNetV2, PointNet2)
+            in_ch = getattr(getattr(self, "backbone_3d", None),
+                            "num_point_features", None)
         return registry[cfg.NAME](cfg, num_class=self.num_class,
                                   input_channels=in_ch)
 
@@ -123,9 +126,12 @@ class Detector3DTemplate:
             return None
         from ..roi_heads import __all__ as registry
         pfe = getattr(self, "pfe", None)
+        in_ch = getattr(pfe, "num_point_features", None)
+        if in_ch is None:
+            in_ch = getattr(getattr(self, "backbone_3d", None),
+                            "num_point_features", None)
         return registry[cfg.NAME](
-            cfg, num_class=self.num_class,
-            input_channels=getattr(pfe, "num_point_features", None))
+            cfg, num_class=self.num_class, input_channels=in_ch)
 
     # ------------------------------------------------------------------
     def init(self, rng) -> Tuple[Params, Params]:
