@@ -44,11 +44,22 @@ class EasyDict(dict):
         return EasyDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
 
 
+def _resolve_base(path: str) -> str:
+    """Resolve a ``_BASE_CONFIG_`` path.  The reference runs its CLIs from
+    ``tools/`` with ``cfgs/...``-relative includes; accept that plus
+    repo-root-relative (``tools/cfgs/...``) so configs load from any cwd."""
+    repo_root = Path(__file__).resolve().parent.parent
+    for cand in (Path(path), repo_root / path, repo_root / "tools" / path):
+        if cand.is_file():
+            return str(cand)
+    return path
+
+
 def merge_new_config(config: EasyDict, new_config: dict) -> EasyDict:
     """Recursive merge, resolving ``_BASE_CONFIG_`` includes first
     (reference pcdet/config.py:51-68)."""
     if "_BASE_CONFIG_" in new_config:
-        with open(new_config["_BASE_CONFIG_"]) as f:
+        with open(_resolve_base(new_config["_BASE_CONFIG_"])) as f:
             base = yaml.safe_load(f)
         # recursive merge (resolves _BASE_CONFIG_ nested inside the base)
         merge_new_config(config, base)
