@@ -6,6 +6,7 @@ from .centerpoint import CenterPoint
 from .point_rcnn import PointRCNN
 from .voxel_rcnn import VoxelRCNN
 from .parta2_net import PartA2Net
+from .second_net_iou import SECONDNetIoU
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -17,6 +18,7 @@ __all__ = {
     "PointRCNN": PointRCNN,
     "VoxelRCNN": VoxelRCNN,
     "PartA2Net": PartA2Net,
+    "SECONDNetIoU": SECONDNetIoU,
 }
 
 

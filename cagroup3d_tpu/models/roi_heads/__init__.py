@@ -3,6 +3,7 @@ from .pvrcnn_head import PVRCNNHead
 from .pointrcnn_head import PointRCNNHead
 from .voxelrcnn_head import VoxelRCNNHead
 from .parta2_head import PartA2FCHead
+from .second_head import SECONDHead
 
 __all__ = {
     "CAGroup3DRoIHead": CAGroup3DRoIHead,
@@ -10,4 +11,5 @@ __all__ = {
     "PointRCNNHead": PointRCNNHead,
     "VoxelRCNNHead": VoxelRCNNHead,
     "PartA2FCHead": PartA2FCHead,
+    "SECONDHead": SECONDHead,
 }
