@@ -17,6 +17,7 @@ reference implementation and the autodiff path.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -56,6 +57,55 @@ def gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
     if bias is not None:
         out = out + bias
     return out
+
+
+# ----------------------------------------------------------------------
+# Scatter-free backward: each per-offset map n -> nbr[k, n] is a partial
+# bijection (coord(out) + delta_k = coord(in) is injective in out for a
+# fixed offset), so dL/dfeats is itself a gather-GEMM over the TRANSPOSED
+# kernel map tnbr[k, i] = out row at coord(in) - delta_k, with w[k]^T.
+# XLA's autodiff instead emits a scatter-add per offset, which lowers to
+# a pathological TPU path (measured 1.9 s for ONE [65k, 64] site — vs
+# ~2 ms for the equivalent gather).  dW re-gathers the forward rows
+# (rematerialization; no residuals beyond the inputs).
+# ----------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gather_gemm_t(feats, nbr, tnbr, w, bias, compute_dtype=jnp.float32):
+    """gather_gemm with a known transpose table ``tnbr`` (see
+    layers.py call sites; for submanifold convs tnbr = nbr[::-1])."""
+    return gather_gemm(feats, nbr, w, bias, compute_dtype=compute_dtype)
+
+
+def _ggt_fwd(feats, nbr, tnbr, w, bias, compute_dtype):
+    out = gather_gemm(feats, nbr, w, bias, compute_dtype=compute_dtype)
+    return out, (feats, nbr, tnbr, w, bias)
+
+
+def _ggt_bwd(compute_dtype, res, g):
+    feats, nbr, tnbr, w, bias = res
+    cin = w.shape[1]
+    # dfeats: gather-GEMM of g over the transposed map with w[k]^T
+    w_t = jnp.swapaxes(w, 1, 2)                     # [K, Cout, Cin]
+    dfeats = gather_gemm(g, tnbr, w_t, None,
+                         compute_dtype=compute_dtype).astype(feats.dtype)
+    # dW[k] = (masked gather of feats at nbr[k])^T @ g
+    f16 = feats.astype(compute_dtype)
+    g16 = g.astype(compute_dtype)
+
+    def step(_, nbr_k):
+        f = take_rows(f16, jnp.maximum(nbr_k, 0))
+        f = jnp.where((nbr_k >= 0)[:, None], f, 0.0)
+        dwk = jax.lax.dot_general(
+            f, g16, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [Cin, Cout]
+        return None, dwk
+
+    _, dw = jax.lax.scan(jax.checkpoint(step), None, nbr)
+    dbias = None if bias is None else jnp.sum(g, axis=0).astype(bias.dtype)
+    return (dfeats, _f0(nbr), _f0(tnbr), dw.astype(w.dtype), dbias)
+
+
+gather_gemm_t.defvjp(_ggt_fwd, _ggt_bwd)
 
 
 def scan_conv(src_coords: jnp.ndarray, src_valid: jnp.ndarray,
@@ -182,6 +232,187 @@ def scan_conv_grouped(src_coords, src_valid, src_feats, src_stride: int,
     if bias is not None:
         out = out + bias
     return jnp.where(tgt_valid[:, None], out, 0.0)
+
+
+def _f0(a):
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+def _dw_only(fn_of_w, w, g):
+    """dL/dw of fn_of_w at w given cotangent g.  Features are captured
+    constants, so no feature scatter appears in this VJP."""
+    _, pb = jax.vjp(fn_of_w, w)
+    return pb(g)[0]
+
+
+def _w_rev_t(w):
+    """Reverse the kernel axis (offset negation under the lexicographic
+    stencil enumeration) and transpose Cin/Cout: the weights of the
+    transposed conv that IS the feature backward of a submanifold conv."""
+    return jnp.swapaxes(w[..., ::-1, :, :], -1, -2)
+
+
+def scan_conv_grouped_t(src_coords, src_valid, src_feats, src_stride: int,
+                        tgt_coords, tgt_valid, kernel_size: int, w,
+                        compute_dtype=jnp.bfloat16):
+    """scan_conv_grouped with the scatter-free backward: both coordinate
+    sets live on the same stride lattice, so dL/dfeats is the SAME
+    grouped conv run in the opposite direction with offset-reversed,
+    transposed weights.  dW comes from a w-only VJP (no scatters).
+
+    NB: coordinate/mask arrays are explicit custom_vjp arguments (float0
+    cotangents) — closing over them breaks under vmap."""
+
+    @jax.custom_vjp
+    def f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
+        return scan_conv_grouped(src_coords, src_valid, src_feats,
+                                 src_stride, tgt_coords, tgt_valid,
+                                 kernel_size, w,
+                                 compute_dtype=compute_dtype)
+
+    def fwd(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
+        return (f(src_coords, src_valid, tgt_coords, tgt_valid,
+                  src_feats, w),
+                (src_coords, src_valid, tgt_coords, tgt_valid, src_feats,
+                 w))
+
+    def bwd(res, g):
+        src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w = res
+        g = jnp.where(tgt_valid[:, None], g, 0.0)
+        df = scan_conv_grouped(tgt_coords, tgt_valid, g, src_stride,
+                               src_coords, src_valid, kernel_size,
+                               _w_rev_t(w), compute_dtype=compute_dtype
+                               ).astype(src_feats.dtype)
+        dw = _dw_only(
+            lambda ww: scan_conv_grouped(
+                src_coords, src_valid, src_feats, src_stride, tgt_coords,
+                tgt_valid, kernel_size, ww, compute_dtype=compute_dtype),
+            w, g)
+        return (_f0(src_coords), _f0(src_valid), _f0(tgt_coords),
+                _f0(tgt_valid), df, dw)
+
+    f.defvjp(fwd, bwd)
+    return f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w)
+
+
+def scan_conv_grouped_classes_t(coords, valid, feats, stride: int,
+                                kernel_size: int, w,
+                                compute_dtype=jnp.bfloat16):
+    """scan_conv_grouped_classes with the scatter-free backward (same
+    construction: submanifold => transpose = reversed-offset conv)."""
+
+    @jax.custom_vjp
+    def f(coords, valid, feats, w):
+        return scan_conv_grouped_classes(coords, valid, feats, stride,
+                                         kernel_size, w,
+                                         compute_dtype=compute_dtype)
+
+    def fwd(coords, valid, feats, w):
+        return f(coords, valid, feats, w), (coords, valid, feats, w)
+
+    def bwd(res, g):
+        coords, valid, feats, w = res
+        g = jnp.where(valid[..., None], g, 0.0)
+        df = scan_conv_grouped_classes(coords, valid, g, stride,
+                                       kernel_size, _w_rev_t(w),
+                                       compute_dtype=compute_dtype
+                                       ).astype(feats.dtype)
+        dw = _dw_only(
+            lambda ww: scan_conv_grouped_classes(
+                coords, valid, feats, stride, kernel_size, ww,
+                compute_dtype=compute_dtype), w, g)
+        return _f0(coords), _f0(valid), df, dw
+
+    f.defvjp(fwd, bwd)
+    return f(coords, valid, feats, w)
+
+
+def scan_conv_at_classes_t(src_coords, src_valid, src_feats,
+                           src_stride: int, tgt_coords, tgt_valid,
+                           offsets: np.ndarray, w, tgt_stride: int = 1,
+                           compute_dtype=jnp.bfloat16):
+    """scan_conv_at_classes with the scatter-free backward: dL/dfeats is
+    the same per-class conv-at-coords run tgt->src with NEGATED offsets
+    and per-offset-transposed weights (no kernel-axis reversal — the
+    offsets are explicit)."""
+
+    @jax.custom_vjp
+    def f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
+        return scan_conv_at_classes(src_coords, src_valid, src_feats,
+                                    src_stride, tgt_coords, tgt_valid,
+                                    offsets, w,
+                                    compute_dtype=compute_dtype)
+
+    def fwd(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
+        return (f(src_coords, src_valid, tgt_coords, tgt_valid,
+                  src_feats, w),
+                (src_coords, src_valid, tgt_coords, tgt_valid, src_feats,
+                 w))
+
+    def bwd(res, g):
+        src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w = res
+        g = jnp.where(tgt_valid[..., None], g, 0.0)
+        df = scan_conv_at_classes(tgt_coords, tgt_valid, g, tgt_stride,
+                                  src_coords, src_valid, -offsets,
+                                  jnp.swapaxes(w, -1, -2),
+                                  compute_dtype=compute_dtype
+                                  ).astype(src_feats.dtype)
+        dw = _dw_only(
+            lambda ww: scan_conv_at_classes(
+                src_coords, src_valid, src_feats, src_stride, tgt_coords,
+                tgt_valid, offsets, ww, compute_dtype=compute_dtype),
+            w, g)
+        return (_f0(src_coords), _f0(src_valid), _f0(tgt_coords),
+                _f0(tgt_valid), df, dw)
+
+    f.defvjp(fwd, bwd)
+    return f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w)
+
+
+def generative_up_classes_t(src_coords, src_valid, src_feats, factor: int,
+                            tgt_coords, tgt_valid, w,
+                            compute_dtype=jnp.bfloat16):
+    """generative_up_classes with the scatter-free backward.  Each fine
+    voxel has one (parent, slot-j) pair with j equal to the ascending
+    enumeration index of d = fine - parent_raw, so dL/dsrc is a per-class
+    conv-at-coords over the fine table with centered kernel_offsets and
+    per-slot transposed weights (odd factor only — the head's expand=3)."""
+    if factor % 2 == 0:
+        return generative_up_classes(src_coords, src_valid, src_feats,
+                                     factor, tgt_coords, tgt_valid, w,
+                                     compute_dtype=compute_dtype)
+
+    @jax.custom_vjp
+    def f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
+        return generative_up_classes(src_coords, src_valid, src_feats,
+                                     factor, tgt_coords, tgt_valid, w,
+                                     compute_dtype=compute_dtype)
+
+    def fwd(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
+        return (f(src_coords, src_valid, tgt_coords, tgt_valid,
+                  src_feats, w),
+                (src_coords, src_valid, tgt_coords, tgt_valid, src_feats,
+                 w))
+
+    def bwd(res, g):
+        src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w = res
+        g = jnp.where(tgt_valid[..., None], g, 0.0)
+        from .kernel_maps import kernel_offsets
+        df = scan_conv_at_classes(tgt_coords, tgt_valid, g, 1,
+                                  src_coords, src_valid,
+                                  kernel_offsets(factor),
+                                  jnp.swapaxes(w, -1, -2),
+                                  compute_dtype=compute_dtype
+                                  ).astype(src_feats.dtype)
+        dw = _dw_only(
+            lambda ww: generative_up_classes(
+                src_coords, src_valid, src_feats, factor, tgt_coords,
+                tgt_valid, ww, compute_dtype=compute_dtype), w, g)
+        return (_f0(src_coords), _f0(src_valid), _f0(tgt_coords),
+                _f0(tgt_valid), df, dw)
+
+    f.defvjp(fwd, bwd)
+    return f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w)
 
 
 def _chunk_table(skeys, svals):

@@ -106,31 +106,47 @@ class VoxelSetAbstraction:
         self.voxel_size = [float(v) for v in voxel_size]
         self.pc_range = [float(v) for v in point_cloud_range]
         self.num_keypoints = int(c.NUM_KEYPOINTS)
+        self.sample_method = str(c.get("SAMPLE_METHOD", "FPS"))
+        self.spc_cfg = c.get("SPC_SAMPLING", None)
         self.sources = list(c.FEATURES_SOURCE)
         sa_cfg = c.SA_LAYER
         self.sa_layers = {}
         self.downsample = {}
+        self.roi_filter = {}         # src -> radius (PV-RCNN++ neighbor
+        #                              filtering, voxel_set_abstraction.py:
+        #                              284-332 filter_neighbors_with_roi)
+
+        def build_layer(sc, cin):
+            if str(sc.get("NAME", "")) == "VectorPoolAggregationModuleMSG":
+                from .vector_pool import VectorPoolAggregationModuleMSG
+                return VectorPoolAggregationModuleMSG(cin, sc)
+            return StackSAModuleMSG(cin, sc["POOL_RADIUS"],
+                                    sc["NSAMPLE"], sc["MLPS"])
+
         c_in = 0
         for src in self.sources:
             if src in ("bev", "raw_points"):
                 continue
             sc = sa_cfg[src]
             self.downsample[src] = int(sc.get("DOWNSAMPLE_FACTOR", 1))
-            cin = int(sc.get("INPUT_CHANNELS",
-                             sc["MLPS"][0][0] if isinstance(
-                                 sc["MLPS"][0], (list, tuple))
-                             else sc["MLPS"][0]))
-            self.sa_layers[src] = StackSAModuleMSG(
-                cin, sc["POOL_RADIUS"], sc["NSAMPLE"], sc["MLPS"])
+            cin = sc.get("INPUT_CHANNELS")
+            if cin is None:
+                m0 = sc["MLPS"][0]
+                cin = m0[0] if isinstance(m0, (list, tuple)) else m0
+            self.sa_layers[src] = build_layer(sc, int(cin))
+            if sc.get("FILTER_NEIGHBOR_WITH_ROI", False):
+                self.roi_filter[src] = float(
+                    sc["RADIUS_OF_NEIGHBOR_WITH_ROI"])
             c_in += self.sa_layers[src].num_out
         if "bev" in self.sources:
             self.c_bev = int(num_bev_features)
             c_in += self.c_bev
         if "raw_points" in self.sources:
             sc = sa_cfg["raw_points"]
-            self.sa_rawpoints = StackSAModuleMSG(
-                num_rawpoint_features - 3, sc["POOL_RADIUS"],
-                sc["NSAMPLE"], sc["MLPS"])
+            self.sa_rawpoints = build_layer(sc, num_rawpoint_features - 3)
+            if sc.get("FILTER_NEIGHBOR_WITH_ROI", False):
+                self.roi_filter["raw_points"] = float(
+                    sc["RADIUS_OF_NEIGHBOR_WITH_ROI"])
             c_in += self.sa_rawpoints.num_out
         self.c_in = c_in
         self.num_point_features = int(c.NUM_OUTPUT_FEATURES)
@@ -158,9 +174,29 @@ class VoxelSetAbstraction:
                 self.num_point_features)
         return P, S
 
-    def get_keypoints(self, points, pvalid):
+    def get_keypoints(self, points, pvalid, rois=None, roi_valid=None):
         """FPS over raw xyz -> [K, 3] keypoints (POINT_SOURCE raw_points,
-        SAMPLE_METHOD FPS; repeats when fewer valid points)."""
+        SAMPLE_METHOD FPS; repeats when fewer valid points).
+
+        SAMPLE_METHOD SPC (PV-RCNN++, voxel_set_abstraction.py:206-225):
+        restrict to points near proposals (sample_points_with_roi), then
+        FPS.  The reference splits that FPS into per-sector FPS runs
+        purely to parallelise the sequential CUDA kernel
+        (sector_fps :78-122); one masked FPS over the roi-filtered set
+        pursues the same spatial-uniformity objective with static
+        shapes, so sectorisation is deliberately not replicated."""
+        if self.sample_method == "SPC":
+            from .vector_pool import filter_points_near_rois
+            assert rois is not None
+            near = filter_points_near_rois(
+                points[:, :3], pvalid, rois, roi_valid,
+                float(self.spc_cfg.SAMPLE_RADIUS_WITH_ROI))
+            # fall back to all valid points if no roi survives
+            near = jnp.where(jnp.any(near), near, pvalid)
+            idx = farthest_point_sample(points[:, :3], near,
+                                        self.num_keypoints)
+            kp = points[idx, :3]
+            return kp, jnp.broadcast_to(jnp.any(near), (kp.shape[0],))
         idx = farthest_point_sample(points[:, :3], pvalid,
                                     self.num_keypoints)
         kp = points[idx, :3]
@@ -168,12 +204,22 @@ class VoxelSetAbstraction:
 
     def __call__(self, P, S, ctx: Ctx, points, pvalid, bev,
                  multi_scale: Dict, bev_stride: int,
-                 prefix: str = "pfe"):
+                 prefix: str = "pfe", rois=None, roi_valid=None):
         """Per scene.  points [P, 3+F] raw; bev [H, W, Cbev]; multi_scale:
         {name: (SparseTensor in own lattice units, downsample_factor)}.
-        Returns (keypoints [K, 3], kp_valid, features [K, C],
-        features_before_fusion [K, c_in])."""
-        kp, kp_valid = self.get_keypoints(points, pvalid)
+        rois/roi_valid: proposals for SPC sampling + neighbor filtering
+        (PV-RCNN++).  Returns (keypoints [K, 3], kp_valid,
+        features [K, C], features_before_fusion [K, c_in])."""
+        kp, kp_valid = self.get_keypoints(points, pvalid, rois, roi_valid)
+
+        def src_valid(src, valid, xyz):
+            r = self.roi_filter.get(src)
+            if r is None or rois is None:
+                return valid
+            from .vector_pool import filter_points_near_rois
+            near = filter_points_near_rois(xyz, valid, rois, roi_valid, r)
+            return jnp.where(jnp.any(near), near, valid)
+
         feats_list = []
         if "bev" in self.sources:
             x_idx = (kp[:, 0] - self.pc_range[0]) / self.voxel_size[0] \
@@ -184,16 +230,18 @@ class VoxelSetAbstraction:
         if "raw_points" in self.sources:
             f = points[:, 3:] if points.shape[1] > 3 else None
             feats_list.append(self.sa_rawpoints(
-                P, S, ctx, points[:, :3], pvalid, f, kp, kp_valid,
-                f"{prefix}.SA_raw_points"))
+                P, S, ctx, points[:, :3],
+                src_valid("raw_points", pvalid, points[:, :3]), f, kp,
+                kp_valid, f"{prefix}.SA_raw_points"))
         for src, layer in self.sa_layers.items():
             st, factor = multi_scale[src]
             centers = (st.coords.astype(jnp.float32) + 0.5) * \
                 jnp.asarray(self.voxel_size) * factor + \
                 jnp.asarray(self.pc_range[:3])
             feats_list.append(layer(
-                P, S, ctx, centers, st.valid, st.masked_feats(), kp,
-                kp_valid, f"{prefix}.SA_{src}"))
+                P, S, ctx, centers,
+                src_valid(src, st.valid, centers), st.masked_feats(),
+                kp, kp_valid, f"{prefix}.SA_{src}"))
         before = jnp.concatenate(feats_list, axis=-1)    # [K, c_in]
         fused = before @ P[prefix + ".vsa_point_feature_fusion.weight"]
         fused = apply_bn(P, S, ctx, prefix + ".vsa_point_feature_fusion.bn",

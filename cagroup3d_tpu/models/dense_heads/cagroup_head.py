@@ -238,7 +238,8 @@ class CAGroup3DHead:
                 from ...ops.pallas_conv import subm_conv_classes_mxu
                 return subm_conv_classes_mxu(
                     st_cls.coords, st_cls.valid, st_cls.feats, w, kernel_size)
-            return scan_conv_grouped_classes(
+            from ...core.sparse_conv import scan_conv_grouped_classes_t
+            return scan_conv_grouped_classes_t(
                 st_cls.coords, st_cls.valid, st_cls.feats, 1, kernel_size, w)
 
         f_out = _cls_conv(fine, self.cls_kernel,
@@ -258,18 +259,18 @@ class CAGroup3DHead:
         # kernel == stride each fine voxel has exactly one parent, so the
         # 27-offset scan collapses to one lookup + one-hot weights
         if self.expand == 3:
-            from ...core.sparse_conv import generative_up_classes
-            up_out = jax.checkpoint(
-                lambda ef, w: generative_up_classes(
-                    coarse.coords * self.expand, coarse.valid, ef,
-                    self.expand, fine.coords, fine.valid, w))(
-                e_out, P[pre + ".cls_individual_up.0.kernel"])
+            from ...core.sparse_conv import generative_up_classes_t
+            up_out = generative_up_classes_t(
+                coarse.coords * self.expand, coarse.valid, e_out,
+                self.expand, fine.coords, fine.valid,
+                P[pre + ".cls_individual_up.0.kernel"])
         else:
+            from ...core.sparse_conv import scan_conv_at_classes_t
             k_up = transpose_offsets(3, 1)
-            up_out = scan_conv_at_classes(
+            up_out = scan_conv_at_classes_t(
                 coarse.coords * self.expand, coarse.valid, e_out,
                 self.expand, fine.coords, fine.valid, k_up,
-                P[pre + ".cls_individual_up.0.kernel"])
+                P[pre + ".cls_individual_up.0.kernel"], tgt_stride=1)
         up_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_up.1.0",
                              up_out, fine.valid)
         up_out = jnp.where(fine.valid[..., None], elu(up_out), 0.0)

@@ -7,6 +7,7 @@ from .point_rcnn import PointRCNN
 from .voxel_rcnn import VoxelRCNN
 from .parta2_net import PartA2Net
 from .second_net_iou import SECONDNetIoU
+from .pv_rcnn_plusplus import PVRCNNPlusPlus
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -19,6 +20,7 @@ __all__ = {
     "VoxelRCNN": VoxelRCNN,
     "PartA2Net": PartA2Net,
     "SECONDNetIoU": SECONDNetIoU,
+    "PVRCNNPlusPlus": PVRCNNPlusPlus,
 }
 
 

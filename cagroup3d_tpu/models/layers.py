@@ -15,12 +15,14 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..core.kernel_maps import (conv_offsets, neighbor_table,
-                                neighbor_table_grouped, transpose_offsets)
+from ..core.kernel_maps import (conv_offsets, kernel_offsets,
+                                neighbor_table, neighbor_table_grouped,
+                                transpose_offsets)
 from ..core.module import Ctx, Params, apply_bn
 from ..core.norm import elu, relu
 from ..core.sparse import SparseTensor
 from ..core.sparse_conv import gather_gemm as _gather_gemm
+from ..core.sparse_conv import gather_gemm_t as _gather_gemm_t
 from ..core.voxelize import stride_reduce_coords
 
 
@@ -37,11 +39,17 @@ def _gather_gemm_remat_nobias(feats, nbr, w):
     return _gather_gemm(feats, nbr, w, None, compute_dtype=jnp.bfloat16)
 
 
-def gather_gemm(feats, nbr, w, bias=None):
+def gather_gemm(feats, nbr, w, bias=None, tnbr=None):
     """Backbone conv gathers run in bf16 (f32 accumulation) and are
     REMATERIALIZED: without jax.checkpoint the scan saves every gathered
     [N, Cin] step as a residual (~gigabytes across the backbone), which
-    OOMs HBM for full-size training."""
+    OOMs HBM for full-size training.
+
+    With a transpose table ``tnbr`` the scatter-free custom VJP is used
+    (core/sparse_conv.gather_gemm_t) — the backward is two gather-GEMMs
+    instead of K scatter-adds, which are pathological on TPU."""
+    if tnbr is not None:
+        return _gather_gemm_t(feats, nbr, tnbr, w, bias, jnp.bfloat16)
     if bias is None:
         return _gather_gemm_remat_nobias(feats, nbr, w)
     return _gather_gemm_remat(feats, nbr, w, bias)
@@ -71,6 +79,26 @@ def _nbr_odd(ctx: Ctx, src: SparseTensor, tgt_coords, tgt_valid, k: int):
     return _cached(ctx, key, lambda: (src.coords, tgt_coords,
                                       neighbor_table_grouped(
                                           src, tgt_coords, tgt_valid, k)))[2]
+
+
+def _tnbr(ctx: Ctx, src: SparseTensor, tgt: SparseTensor,
+          raw_offsets) -> jnp.ndarray:
+    """Transposed kernel map for the scatter-free conv backward: for each
+    SOURCE row, the target row at ``src_coord - offset`` (per offset).
+    Only materialized in training (the eval graph never differentiates).
+    """
+    key = ("tnbr", id(src.coords), id(tgt.coords), raw_offsets.tobytes(),
+           tgt.stride)
+
+    def build():
+        tgt_ix = SparseTensor(tgt.coords,
+                              jnp.zeros((tgt.coords.shape[0], 1)),
+                              tgt.valid, tgt.stride)
+        return (src.coords, tgt.coords,
+                neighbor_table(tgt_ix, src.coords, src.valid,
+                               -raw_offsets))
+
+    return _cached(ctx, key, build)[2]
 
 
 def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
@@ -123,20 +151,25 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
             f = f + b
         return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
     nbr = _nbr_odd(ctx, st, st.coords, st.valid, k)
+    # submanifold transpose map is the offset-reversed table (the
+    # lexicographic stencil enumeration satisfies off[i] = -off[K-1-i])
+    tnbr = nbr[::-1] if ctx.train else None
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"))
+                    params.get(path + ".bias"), tnbr=tnbr)
     return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
 
 
 def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
          factor: int, cap: int) -> SparseTensor:
     out = reduce_coords(ctx, st, factor, cap)
+    offs = conv_offsets(k, st.stride)
     if k % 2 == 1:
         nbr = _nbr_odd(ctx, st, out.coords, out.valid, k)
     else:
-        nbr = _nbr(ctx, st, out.coords, out.valid, conv_offsets(k, st.stride))
+        nbr = _nbr(ctx, st, out.coords, out.valid, offs)
+    tnbr = _tnbr(ctx, st, out, offs) if ctx.train else None
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"))
+                    params.get(path + ".bias"), tnbr=tnbr)
     return SparseTensor(out.coords, jnp.where(out.valid[:, None], f, 0.0),
                         out.valid, out.stride)
 
@@ -144,15 +177,22 @@ def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
 def conv_at(params: Params, ctx: Ctx, path: str, src: SparseTensor,
             tgt_coords, tgt_valid, k: int,
             out_stride: Optional[int] = None) -> SparseTensor:
+    offs = conv_offsets(k, src.stride)
     if k % 2 == 1:
         nbr = _nbr_odd(ctx, src, tgt_coords, tgt_valid, k)
     else:
-        nbr = _nbr(ctx, src, tgt_coords, tgt_valid, conv_offsets(k, src.stride))
+        nbr = _nbr(ctx, src, tgt_coords, tgt_valid, offs)
+    os = out_stride if out_stride is not None else src.stride
+    tnbr = None
+    if ctx.train:
+        tgt_st = SparseTensor(tgt_coords,
+                              jnp.zeros((tgt_coords.shape[0], 1)),
+                              tgt_valid, os)
+        tnbr = _tnbr(ctx, src, tgt_st, offs)
     f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"))
+                    params.get(path + ".bias"), tnbr=tnbr)
     return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),
-                        tgt_valid,
-                        out_stride if out_stride is not None else src.stride)
+                        tgt_valid, os)
 
 
 def up(params: Params, ctx: Ctx, path: str, src: SparseTensor, tgt_coords,
@@ -161,8 +201,14 @@ def up(params: Params, ctx: Ctx, path: str, src: SparseTensor, tgt_coords,
     out_stride = src.stride // up_factor
     offs = transpose_offsets(k, out_stride)
     nbr = _nbr(ctx, src, tgt_coords, tgt_valid, offs)
+    tnbr = None
+    if ctx.train:
+        tgt_st = SparseTensor(tgt_coords,
+                              jnp.zeros((tgt_coords.shape[0], 1)),
+                              tgt_valid, out_stride)
+        tnbr = _tnbr(ctx, src, tgt_st, offs)
     f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"))
+                    params.get(path + ".bias"), tnbr=tnbr)
     return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),
                         tgt_valid, out_stride)
 

@@ -134,9 +134,10 @@ class CAGroup3DRoIHead:
                                    st.stride, ded.coords, ded.valid,
                                    self.roi_conv_kernel, w)
         else:
-            f = scan_conv_grouped(st.coords, st.valid, st.feats, st.stride,
-                                  qcoords, ded.valid, self.roi_conv_kernel,
-                                  w)
+            from ...core.sparse_conv import scan_conv_grouped_t
+            f = scan_conv_grouped_t(st.coords, st.valid, st.feats,
+                                    st.stride, qcoords, ded.valid,
+                                    self.roi_conv_kernel, w)
         f = apply_bn(P, S, ctx, pl + ".grid_bn", f, ded.valid)
         f = jnp.where(ded.valid[:, None], elu(f), 0.0)
 

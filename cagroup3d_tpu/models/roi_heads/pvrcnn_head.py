@@ -37,8 +37,15 @@ class PVRCNNHead:
         self.in_ch = int(c.get("INPUT_CHANNELS", input_channels or 128))
         gp = c.ROI_GRID_POOL
         self.grid_size = int(gp.GRID_SIZE)
-        self.pool_layer = StackSAModuleMSG(
-            self.in_ch, gp["POOL_RADIUS"], gp["NSAMPLE"], gp["MLPS"])
+        if str(gp.get("NAME", "")) == "VectorPoolAggregationModuleMSG":
+            # PV-RCNN++ grid pooling (pv_rcnn_plusplus.yaml ROI_GRID_POOL)
+            from ..backbones_3d.vector_pool import \
+                VectorPoolAggregationModuleMSG
+            self.pool_layer = VectorPoolAggregationModuleMSG(self.in_ch,
+                                                             gp)
+        else:
+            self.pool_layer = StackSAModuleMSG(
+                self.in_ch, gp["POOL_RADIUS"], gp["NSAMPLE"], gp["MLPS"])
         self.shared_fc = [int(x) for x in c.SHARED_FC]
         self.cls_fc = [int(x) for x in c.CLS_FC]
         self.reg_fc = [int(x) for x in c.REG_FC]
@@ -163,18 +170,16 @@ class PVRCNNHead:
         return outs["cls"], outs["reg"]
 
     # ------------------------------------------------------------------
-    def forward_train(self, P, S, ctx: Ctx, rois, roi_scores, roi_labels,
-                      roi_valid, gt_boxes, gt_labels, gt_valid, kp,
-                      kp_valid, kp_feats, kp_scores,
-                      prefix: str = "roi_head"):
-        """Per scene.  rois in pcdet heading (lidar frame)."""
+    def sample_targets(self, ctx: Ctx, rois, roi_scores, roi_labels,
+                       roi_valid, gt_boxes, gt_labels, gt_valid):
+        """Proposal target sampling + canonical transform
+        (roi_head_template.py:104-135); split out so PV-RCNN++ can
+        sample rois BEFORE its proposal-centric PFE."""
         tgt = self.proposal_target_layer(
             ctx.next_rng(), rois, roi_scores,
             roi_labels.astype(jnp.int32), roi_valid, gt_boxes,
             gt_labels, gt_valid, flip_gt_heading=False)
         s_rois = tgt["rois"]
-        s_valid = jnp.ones(s_rois.shape[0], bool)
-        # canonical transform (roi_head_template.py:117-135)
         gt_ct = tgt["gt_of_rois"]
         roi_ry = s_rois[:, 6] % (2 * jnp.pi)
         gt_ct = gt_ct.at[:, 0:3].add(-s_rois[:, 0:3])
@@ -186,18 +191,38 @@ class PVRCNNHead:
                             heading)
         heading = jnp.where(heading > jnp.pi, heading - 2 * jnp.pi,
                             heading)
-        gt_ct = gt_ct.at[:, 6].set(
+        tgt["gt_of_rois_ct"] = gt_ct.at[:, 6].set(
             jnp.clip(heading, -jnp.pi / 2, jnp.pi / 2))
+        return tgt
 
+    def forward_train_sampled(self, P, S, ctx: Ctx, tgt, kp, kp_valid,
+                              kp_feats, kp_scores,
+                              prefix: str = "roi_head"):
+        """Pool + heads over already-sampled targets (see
+        sample_targets)."""
+        s_rois = tgt["rois"]
+        s_valid = jnp.ones(s_rois.shape[0], bool)
         pooled = self.roi_grid_pool(P, S, ctx, s_rois, s_valid, kp,
                                     kp_valid, kp_feats, kp_scores, prefix)
         rcnn_cls, rcnn_reg = self._heads(P, S, ctx, pooled, s_valid,
                                          prefix)
         return dict(rcnn_cls=rcnn_cls, rcnn_reg=rcnn_reg, rois=s_rois,
-                    gt_of_rois=gt_ct, gt_of_rois_src=tgt["gt_of_rois"],
+                    gt_of_rois=tgt["gt_of_rois_ct"],
+                    gt_of_rois_src=tgt["gt_of_rois"],
                     reg_valid_mask=tgt["reg_valid_mask"],
                     rcnn_cls_labels=tgt["rcnn_cls_labels"],
                     roi_labels=tgt["roi_labels"])
+
+    def forward_train(self, P, S, ctx: Ctx, rois, roi_scores, roi_labels,
+                      roi_valid, gt_boxes, gt_labels, gt_valid, kp,
+                      kp_valid, kp_feats, kp_scores,
+                      prefix: str = "roi_head"):
+        """Per scene.  rois in pcdet heading (lidar frame)."""
+        tgt = self.sample_targets(ctx, rois, roi_scores, roi_labels,
+                                  roi_valid, gt_boxes, gt_labels,
+                                  gt_valid)
+        return self.forward_train_sampled(P, S, ctx, tgt, kp, kp_valid,
+                                          kp_feats, kp_scores, prefix)
 
     def forward_test(self, P, S, ctx: Ctx, rois, roi_scores, roi_labels,
                      roi_valid, kp, kp_valid, kp_feats, kp_scores,

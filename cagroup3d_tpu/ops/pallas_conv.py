@@ -304,11 +304,17 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
         return f(coords, valid, feats, w), (coords, valid, feats, w)
 
     def bwd(res, g):
+        # scatter-free: dfeats = reversed-offset transposed conv; dW from
+        # a w-only VJP (core/sparse_conv.py scan_conv_grouped_classes_t)
+        from ..core.sparse_conv import _dw_only, _w_rev_t
         coords, valid, feats, w = res
-        _, vjp = jax.vjp(
-            lambda fe, we: scan_conv_grouped_classes(
-                coords, valid, fe, stride, kernel_size, we), feats, w)
-        dfe, dwe = vjp(g)
+        g = jnp.where(valid[..., None], g, 0.0)
+        dfe = scan_conv_grouped_classes(
+            coords, valid, g, stride, kernel_size, _w_rev_t(w)
+        ).astype(feats.dtype)
+        dwe = _dw_only(
+            lambda we: scan_conv_grouped_classes(
+                coords, valid, feats, stride, kernel_size, we), w, g)
         zc = np.zeros(coords.shape, jax.dtypes.float0)
         zv = np.zeros(valid.shape, jax.dtypes.float0)
         return zc, zv, dfe, dwe
@@ -352,13 +358,17 @@ def conv_at_coords_mxu(src_coords, src_valid, src_feats, src_stride: int,
             (src_coords, src_valid, src_feats, qlat, qvalid, w)
 
     def bwd(res, g):
+        # scatter-free (see core/sparse_conv.py scan_conv_grouped_t)
+        from ..core.sparse_conv import _dw_only, _w_rev_t
         src_coords, src_valid, src_feats, qlat, qvalid, w = res
-        _, vjp = jax.vjp(
-            lambda fe, we: scan_conv_grouped(
-                src_coords, src_valid, fe, src_stride,
-                qlat * src_stride, qvalid, kernel_size, we),
-            src_feats, w)
-        dfe, dwe = vjp(g)
+        g = jnp.where(qvalid[:, None], g, 0.0)
+        dfe = scan_conv_grouped(
+            qlat * src_stride, qvalid, g, src_stride, src_coords,
+            src_valid, kernel_size, _w_rev_t(w)).astype(src_feats.dtype)
+        dwe = _dw_only(
+            lambda we: scan_conv_grouped(
+                src_coords, src_valid, src_feats, src_stride,
+                qlat * src_stride, qvalid, kernel_size, we), w, g)
         z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
         return (z(src_coords), z(src_valid), dfe, z(qlat), z(qvalid), dwe)
 
