@@ -123,10 +123,20 @@ class KittiDataset(DatasetTemplate):
             self.augmentor = DataAugmentor(root, aug_cfg, class_names,
                                            logger=logger)
         self.shuffle_points = False
+        self.depth_downsample = 1
         for proc in dataset_cfg.get("DATA_PROCESSOR", []):
             if proc.get("NAME") == "shuffle_points":
                 self.shuffle_points = bool(dict(proc.get(
                     "SHUFFLE_ENABLED", {})).get(self.mode, False))
+            if proc.get("NAME") == "downsample_depth_map":
+                self.depth_downsample = int(proc["DOWNSAMPLE_FACTOR"])
+        self.get_item_list = list(dataset_cfg.get("GET_ITEM_LIST",
+                                                  ["points"]))
+        # static image canvas for the camera pipeline (CaDDN): KITTI
+        # images vary by a few pixels; pad/crop to a fixed shape so the
+        # batch stacks (reference pads in collate_batch to the max)
+        self.image_shape = tuple(dataset_cfg.get("IMAGE_SHAPE",
+                                                 (375, 1242)))
 
     def __len__(self):
         return len(self.infos)
@@ -146,6 +156,36 @@ class KittiDataset(DatasetTemplate):
     def get_points(self, idx: str) -> np.ndarray:
         f = self.root_split / "velodyne" / f"{idx}.bin"
         return np.fromfile(f, np.float32).reshape(-1, 4)
+
+    def _pad_canvas(self, img: np.ndarray) -> np.ndarray:
+        """Pad/crop HxW(xC) to the static image canvas."""
+        H, W = self.image_shape
+        out = np.zeros((H, W) + img.shape[2:], np.float32)
+        h = min(H, img.shape[0])
+        w = min(W, img.shape[1])
+        out[:h, :w] = img[:h, :w]
+        return out
+
+    def get_image(self, idx: str) -> np.ndarray:
+        """[H, W, 3] float 0..1 (reference kitti_dataset.get_image:68-82,
+        images from training/image_2)."""
+        from PIL import Image
+        f = self.root_split / "image_2" / f"{idx}.png"
+        img = np.asarray(Image.open(f), np.float32) / 255.0
+        return self._pad_canvas(img)
+
+    def get_depth_map(self, idx: str) -> np.ndarray:
+        """[H/ds, W/ds] metres (get_depth_map:93-107: uint16 png / 256,
+        then the downsample_depth_map processor)."""
+        from PIL import Image
+        f = self.root_split / "depth_2" / f"{idx}.png"
+        d = np.asarray(Image.open(f), np.float32) / 256.0
+        d = self._pad_canvas(d)
+        ds = self.depth_downsample
+        if ds > 1:
+            H, W = d.shape[0] // ds * ds, d.shape[1] // ds * ds
+            d = d[:H, :W].reshape(H // ds, ds, W // ds, ds).mean((1, 3))
+        return d
 
     def __getitem__(self, index):
         info = self.infos[index]
@@ -174,7 +214,32 @@ class KittiDataset(DatasetTemplate):
 
         data_dict = dict(points=points, gt_boxes=gt_boxes,
                          gt_names=gt_names, frame_id=sample_idx)
-        return self.prepare_outdoor_data(data_dict)
+        out = self.prepare_outdoor_data(data_dict)
+
+        # camera-pipeline extras (reference kitti_dataset.py:414-422)
+        if "images" in self.get_item_list:
+            out["images"] = self.get_image(sample_idx)
+        if "depth_maps" in self.get_item_list:
+            out["depth_maps"] = self.get_depth_map(sample_idx)
+        if "calib_matricies" in self.get_item_list:
+            l2c = np.eye(4, dtype=np.float32)
+            l2c[:3, :4] = np.asarray(R0 @ V2C, np.float32)
+            P2 = np.asarray(calib.get("P2", np.zeros((3, 4))),
+                            np.float32)[:3, :4]
+            out["trans_lidar_to_cam"] = l2c
+            out["trans_cam_to_img"] = P2
+        if "gt_boxes2d" in self.get_item_list:
+            G = self.max_gt
+            b2 = np.zeros((G, 4), np.float32)
+            bv = np.zeros((G,), bool)
+            if annos is not None and "bbox" in annos:
+                bb = annos["bbox"][annos["name"] != "DontCare"]
+                m = min(len(bb), G)
+                b2[:m] = bb[:m]
+                bv[:m] = True
+            out["gt_boxes2d"] = b2
+            out["gt_boxes2d_valid"] = bv
+        return out
 
     def prepare_outdoor_data(self, data_dict):
         """Augment (train) + range mask + class filter + pad."""

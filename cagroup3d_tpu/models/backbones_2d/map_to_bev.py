@@ -50,6 +50,48 @@ class HeightCompression:
         return bev                                      # [H, W, D*C]
 
 
+class Conv2DCollapse:
+    """Dense voxel volume -> BEV by folding Z into channels + 1x1 conv
+    (reference pcdet/models/backbones_2d/map_to_bev/conv2d_collapse.py:
+    1-38; CaDDN).  Input here is the image VFE's [Z, Y, X, C] volume."""
+
+    def __init__(self, model_cfg, grid_size=None, **kwargs):
+        self.num_bev_features = int(model_cfg.NUM_BEV_FEATURES)
+        self.num_heights = int(grid_size[2]) if grid_size is not None \
+            else None
+        self.k = int(model_cfg.get("ARGS", {}).get("kernel_size", 1))
+
+    def init(self, rng, prefix="map_to_bev") -> Tuple[Params, Params]:
+        import math
+        import jax
+        P: Params = {}
+        S: Params = {}
+        cin = self.num_bev_features * self.num_heights
+        cout = self.num_bev_features
+        std = math.sqrt(2.0 / (self.k * self.k * cout))
+        P[prefix + ".block.weight"] = jax.random.normal(
+            rng, (self.k, self.k, cin, cout)) * std
+        from ...core.module import init_bn
+        init_bn(P, S, prefix + ".block.bn", cout)
+        return P, S
+
+    def __call__(self, P, S, ctx: Ctx, voxel_features,
+                 prefix="map_to_bev"):
+        """voxel_features [Z, Y, X, C] -> [Y, X, C]."""
+        import jax
+        from ...core.module import apply_bn
+        Z, H, W, C = voxel_features.shape
+        x = jnp.transpose(voxel_features, (1, 2, 0, 3)).reshape(
+            H, W, Z * C)
+        x = jax.lax.conv_general_dilated(
+            x[None], P[prefix + ".block.weight"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        x = apply_bn(P, S, ctx, prefix + ".block.bn",
+                     x.reshape(-1, x.shape[-1]), jnp.ones(H * W, bool),
+                     momentum=0.01, eps=1e-3).reshape(H, W, -1)
+        return jnp.maximum(x, 0.0)
+
+
 class PointPillarScatter:
     def __init__(self, model_cfg, grid_size=None, **kwargs):
         self.num_bev_features = int(model_cfg.NUM_BEV_FEATURES)

@@ -8,6 +8,7 @@ from .voxel_rcnn import VoxelRCNN
 from .parta2_net import PartA2Net
 from .second_net_iou import SECONDNetIoU
 from .pv_rcnn_plusplus import PVRCNNPlusPlus
+from .caddn import CaDDN
 
 __all__ = {
     "CAGroup3D": CAGroup3D,
@@ -21,6 +22,7 @@ __all__ = {
     "PartA2Net": PartA2Net,
     "SECONDNetIoU": SECONDNetIoU,
     "PVRCNNPlusPlus": PVRCNNPlusPlus,
+    "CaDDN": CaDDN,
 }
 
 

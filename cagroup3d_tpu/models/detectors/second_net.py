@@ -26,7 +26,10 @@ class SECONDNet(Detector3DTemplate):
         vs = model_cfg.get("VOXEL_SIZE", None)
         if vs is None and dataset is not None:
             for proc in dataset.dataset_cfg.get("DATA_PROCESSOR", []):
-                if proc.get("NAME") == "transform_points_to_voxels":
+                # calculate_grid_size: CaDDN's processor carries the
+                # voxel size without voxelizing (camera-only pipeline)
+                if proc.get("NAME") in ("transform_points_to_voxels",
+                                        "calculate_grid_size"):
                     vs = list(proc["VOXEL_SIZE"])
         self.point_cloud_range = [float(x) for x in pcr]
         self.voxel_size = [float(x) for x in vs]
