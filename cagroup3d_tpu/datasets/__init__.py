@@ -19,12 +19,20 @@ from .sunrgbd_dataset import SunrgbdDataset
 from .indoor_eval import indoor_eval
 
 from .kitti_dataset import KittiDataset
+from .nuscenes_dataset import NuScenesDataset
+from .waymo_dataset import WaymoDataset
+from .lyft_dataset import LyftDataset
+from .pandaset_dataset import PandasetDataset
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
     "ScannetDataset": ScannetDataset,
     "SunrgbdDataset": SunrgbdDataset,
     "KittiDataset": KittiDataset,
+    "NuScenesDataset": NuScenesDataset,
+    "WaymoDataset": WaymoDataset,
+    "LyftDataset": LyftDataset,
+    "PandasetDataset": PandasetDataset,
 }
 
 

@@ -49,6 +49,8 @@ def random_flip_along_x(gt_boxes, points):
         gt_boxes[:, 1] = -gt_boxes[:, 1]
         gt_boxes[:, 6] = -gt_boxes[:, 6]
         points[:, 1] = -points[:, 1]
+        if gt_boxes.shape[1] > 8:          # velocity vy (nuScenes boxes)
+            gt_boxes[:, 8] = -gt_boxes[:, 8]
     return gt_boxes, points
 
 
@@ -57,6 +59,8 @@ def random_flip_along_y(gt_boxes, points):
         gt_boxes[:, 0] = -gt_boxes[:, 0]
         gt_boxes[:, 6] = -(gt_boxes[:, 6] + np.pi)
         points[:, 0] = -points[:, 0]
+        if gt_boxes.shape[1] > 8:          # velocity vx
+            gt_boxes[:, 7] = -gt_boxes[:, 7]
     return gt_boxes, points
 
 
@@ -68,6 +72,10 @@ def global_rotation(gt_boxes, points, rot_range, mmdet3d_sign=False):
         gt_boxes[:, 6] -= noise
     else:
         gt_boxes[:, 6] += noise
+    if gt_boxes.shape[1] > 8:              # rotate the velocity vector
+        vel = np.concatenate([gt_boxes[:, 7:9],
+                              np.zeros((len(gt_boxes), 1))], axis=1)
+        gt_boxes[:, 7:9] = rotate_points_along_z_np(vel, noise)[:, :2]
     return gt_boxes, points
 
 
@@ -192,8 +200,10 @@ class DataBaseSampler:
     def __call__(self, data_dict):
         gt_boxes = data_dict["gt_boxes"]
         gt_names = data_dict["gt_names"].astype(str)
+        W = gt_boxes.shape[1] if gt_boxes.size else 7   # 7, or 9 w/ velo
         existed = gt_boxes[:, :7].copy()
         accepted = []
+        accepted_boxes = []
 
         for name, grp in self.sample_groups.items():
             n = grp["target"]
@@ -203,8 +213,12 @@ class DataBaseSampler:
             if n <= 0:
                 continue
             cands = self._draw(name, n)
-            boxes = np.stack([c["box3d_lidar"] for c in cands]
-                             ).astype(np.float32)
+            boxes = np.stack([np.asarray(c["box3d_lidar"],
+                                         np.float32)[:W] for c in cands])
+            if boxes.shape[1] < W:       # db boxes without velocity
+                boxes = np.concatenate(
+                    [boxes, np.zeros((len(boxes), W - boxes.shape[1]),
+                                     np.float32)], axis=1)
             # collision-free: zero BEV overlap vs existing + accepted
             bev = boxes[:, [0, 1, 3, 4, 6]]
             i1 = self._bev_inter(bev, existed[:, [0, 1, 3, 4, 6]])
@@ -213,11 +227,12 @@ class DataBaseSampler:
             ok = (i1.max(1, initial=0.0) + i2.max(1)) == 0
             for i in np.flatnonzero(ok):
                 accepted.append(cands[i])
+                accepted_boxes.append(boxes[i])
                 existed = np.concatenate([existed, boxes[i:i + 1, :7]])
 
         if not accepted:
             return data_dict
-        sampled_boxes = existed[len(gt_boxes):]
+        sampled_boxes = np.stack(accepted_boxes)
 
         obj_pts = []
         keep_boxes = []
@@ -250,7 +265,7 @@ class DataBaseSampler:
                              np.ones(len(gt_boxes), bool))
         data_dict["points"] = points
         data_dict["gt_boxes"] = np.concatenate(
-            [gt_boxes[mask][:, :7], sampled_boxes], axis=0)
+            [gt_boxes[mask][:, :W], sampled_boxes], axis=0)
         data_dict["gt_names"] = np.concatenate(
             [gt_names[mask], sampled_names])
         data_dict.pop("gt_boxes_mask", None)

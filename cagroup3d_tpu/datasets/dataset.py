@@ -41,6 +41,56 @@ def mask_points_and_boxes_outside_range(data_dict, pc_range,
     return data_dict
 
 
+def prepare_outdoor_sample(data_dict, rs, *, augmentor, shuffle_points,
+                           class_names, pc_range, point_cap, max_gt,
+                           box_dim=7):
+    """Shared outdoor train/eval prep: augment (train) -> shuffle ->
+    range mask -> class filter -> pad to static caps.
+
+    Condenses the reference's DatasetTemplate.prepare_data +
+    DataProcessor chain (dataset.py:88-158, data_processor.py) for the
+    padded static-shape TPU collate.  `rs` is a per-frame seeded
+    RandomState so eval is deterministic across runs.  gt_boxes are
+    padded to [max_gt, box_dim + 1] with the class label in the last
+    column (7-dof boxes, or 9-dof with velocity for nuScenes).
+    """
+    if augmentor is not None:
+        data_dict["gt_boxes_mask"] = np.isin(
+            data_dict["gt_names"], class_names)
+        data_dict = augmentor.forward(data_dict)
+    if shuffle_points:
+        perm = rs.permutation(len(data_dict["points"]))
+        data_dict["points"] = data_dict["points"][perm]
+    pts = data_dict["points"]
+    rng = np.asarray(pc_range)
+    keep = np.all((pts[:, :3] >= rng[:3]) & (pts[:, :3] < rng[3:6]),
+                  axis=1)
+    pts = pts[keep]
+    boxes = data_dict["gt_boxes"]
+    names = data_dict["gt_names"]
+    cls_mask = np.isin(names, class_names)
+    boxes, names = boxes[cls_mask], names[cls_mask]
+    labels = np.asarray([class_names.index(n) for n in names],
+                        np.int32) if len(names) else np.zeros((0,),
+                                                              np.int32)
+    P, G, W = point_cap, max_gt, box_dim
+    out_pts = np.zeros((P, pts.shape[1]), np.float32)
+    out_val = np.zeros((P,), bool)
+    n = min(len(pts), P)
+    sel = rs.choice(len(pts), n, replace=False) if len(pts) > P \
+        else np.arange(len(pts))
+    out_pts[:n] = pts[sel][:n]
+    out_val[:n] = True
+    gb = np.zeros((G, W + 1), np.float32)
+    gv = np.zeros((G,), bool)
+    m = min(len(boxes), G)
+    gb[:m, :W] = boxes[:m, :W]
+    gb[:m, W] = labels[:m]
+    gv[:m] = True
+    return dict(points=out_pts, points_valid=out_val, gt_boxes=gb,
+                gt_valid=gv, frame_id=data_dict["frame_id"])
+
+
 class DatasetTemplate:
     def __init__(self, dataset_cfg=None, class_names=None, training=True,
                  root_path=None, logger=None):

@@ -243,47 +243,18 @@ class KittiDataset(DatasetTemplate):
 
     def prepare_outdoor_data(self, data_dict):
         """Augment (train) + range mask + class filter + pad."""
-        if self.augmentor is not None:
-            data_dict["gt_boxes_mask"] = np.isin(
-                data_dict["gt_names"], self.class_names)
-            data_dict = self.augmentor.forward(data_dict)
         # per-frame seeded RNG: eval must be deterministic across runs
         # (reference asserts set_random_seed; round-2 advisor flag)
         import zlib
+        from .dataset import prepare_outdoor_sample
         rs = np.random.RandomState(
             zlib.crc32(str(data_dict["frame_id"]).encode()) & 0x7FFFFFFF)
-        if self.shuffle_points:
-            perm = rs.permutation(len(data_dict["points"]))
-            data_dict["points"] = data_dict["points"][perm]
-        pts = data_dict["points"]
-        rng = np.asarray(self.dataset_cfg.POINT_CLOUD_RANGE)
-        keep = np.all((pts[:, :3] >= rng[:3]) & (pts[:, :3] < rng[3:6]),
-                      axis=1)
-        pts = pts[keep]
-        boxes = data_dict["gt_boxes"]
-        names = data_dict["gt_names"]
-        cls_mask = np.isin(names, self.class_names)
-        boxes, names = boxes[cls_mask], names[cls_mask]
-        labels = np.asarray([self.class_names.index(n) for n in names],
-                            np.int32) if len(names) else \
-            np.zeros((0,), np.int32)
-
-        P, G = self.point_cap, self.max_gt
-        out_pts = np.zeros((P, pts.shape[1]), np.float32)
-        out_val = np.zeros((P,), bool)
-        n = min(len(pts), P)
-        sel = rs.choice(len(pts), n, replace=False) \
-            if len(pts) > P else np.arange(len(pts))
-        out_pts[:n] = pts[sel][:n]
-        out_val[:n] = True
-        gb = np.zeros((G, 8), np.float32)
-        gv = np.zeros((G,), bool)
-        m = min(len(boxes), G)
-        gb[:m, :7] = boxes[:m, :7]
-        gb[:m, 7] = labels[:m]
-        gv[:m] = True
-        return dict(points=out_pts, points_valid=out_val, gt_boxes=gb,
-                    gt_valid=gv, frame_id=data_dict["frame_id"])
+        return prepare_outdoor_sample(
+            data_dict, rs, augmentor=self.augmentor,
+            shuffle_points=self.shuffle_points,
+            class_names=self.class_names,
+            pc_range=self.dataset_cfg.POINT_CLOUD_RANGE,
+            point_cap=self.point_cap, max_gt=self.max_gt)
 
     # ------------------------------------------------------------------
     def _info_for_frame(self, frame_id):

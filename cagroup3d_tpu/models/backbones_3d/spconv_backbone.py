@@ -169,3 +169,98 @@ class VoxelBackBone8x:
                         x_conv1=x1, x_conv2=x2, x_conv3=x3, x_conv4=x4),
                     multi_scale_3d_strides=dict(
                         x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8))
+
+
+class VoxelResBackBone8x(VoxelBackBone8x):
+    """VoxelResBackBone8x (spconv_backbone.py:190-287): same lattice
+    chain as VoxelBackBone8x, but each stage is a strided transition
+    followed by two SparseBasicBlocks (subm-BN-ReLU-subm-BN + identity,
+    ReLU), with wider channels (16/32/64/128)."""
+
+    CH = {1: 16, 2: 32, 4: 64, 8: 128}
+
+    def __init__(self, model_cfg, input_channels: int = 4, grid_size=None,
+                 **kwargs):
+        super().__init__(model_cfg, input_channels=input_channels,
+                         grid_size=grid_size, **kwargs)
+        self.backbone_channels = {"x_conv1": 16, "x_conv2": 32,
+                                  "x_conv3": 64, "x_conv4": 128}
+
+    def init(self, rng, prefix: str = "backbone_3d") -> Tuple[Params, Params]:
+        P: Params = {}
+        S: Params = {}
+        r = iter(jax.random.split(rng, 32))
+        pre = prefix
+
+        def conv_bn(path, cin, cout):
+            init_conv(P, next(r), path + ".0", 3, cin, cout,
+                      init="kaiming")
+            init_bn(P, S, path + ".1", cout)
+
+        def basic(path, ch):
+            conv_bn(path + ".a", ch, ch)
+            conv_bn(path + ".b", ch, ch)
+
+        conv_bn(pre + ".conv_input", self.in_ch, 16)
+        basic(pre + ".conv1.0", 16)
+        basic(pre + ".conv1.1", 16)
+        for stage, ch_in, ch in ((2, 16, 32), (3, 32, 64), (4, 64, 128)):
+            conv_bn(f"{pre}.conv{stage}.0", ch_in, ch)   # strided
+            basic(f"{pre}.conv{stage}.1", ch)
+            basic(f"{pre}.conv{stage}.2", ch)
+        from ...core.module import kaiming_conv
+        P[pre + ".conv_out.0.kernel"] = kaiming_conv(next(r), 3, 128, 128)
+        init_bn(P, S, pre + ".conv_out.1", 128)
+        return P, S
+
+    def _basic_block(self, P, S, ctx, path, st):
+        """SparseBasicBlock (spconv_backbone.py:16-53): identity residual
+        over two submanifold convs."""
+        from ...core.module import apply_bn
+        y = subm(P, ctx, path + ".a.0", st, 3)
+        y = self._bn_relu(P, S, ctx, path + ".a.1", y)
+        y = subm(P, ctx, path + ".b.0", y, 3)
+        f = apply_bn(P, S, ctx, path + ".b.1", y.feats, y.valid,
+                     momentum=0.01, eps=1e-3)
+        f = f + st.feats
+        return y.with_feats(jnp.where(y.valid[:, None],
+                                      jnp.maximum(f, 0.0), 0.0))
+
+    def __call__(self, P, S, ctx: Ctx, st: SparseTensor,
+                 prefix: str = "backbone_3d") -> Dict:
+        pre = prefix
+        caps = self.caps
+        ext = self.extents or {}
+        x = self._bn_relu(P, S, ctx, pre + ".conv_input.1",
+                          subm(P, ctx, pre + ".conv_input.0", st, 3))
+        x1 = self._basic_block(P, S, ctx, pre + ".conv1.0", x)
+        x1 = self._basic_block(P, S, ctx, pre + ".conv1.1", x1)
+
+        def stage(xin, path, cap, pad=1, in_ext=None):
+            y = spconv_down(P, S, ctx, f"{pre}.{path}.0.0", xin, 3, 2,
+                            pad, cap, in_extent=in_ext)
+            y = self._bn_relu(P, S, ctx, f"{pre}.{path}.0.1", y)
+            y = self._basic_block(P, S, ctx, f"{pre}.{path}.1", y)
+            return self._basic_block(P, S, ctx, f"{pre}.{path}.2", y)
+
+        x2 = stage(x1, "conv2", caps[2], pad=1, in_ext=ext.get(1))
+        x3 = stage(x2, "conv3", caps[4], pad=1, in_ext=ext.get(2))
+        x4 = stage(x3, "conv4", caps[8], pad=(1, 1, 0), in_ext=ext.get(4))
+
+        out_lat, out_valid = spconv_reduce_lat(
+            x4.coords, x4.valid, (1, 1, 3), (1, 1, 2), 0, caps[8],
+            stats=getattr(ctx, "stats", None), stat_name="spconv/out",
+            in_extent=ext.get(8))
+        offs = np.array([[0, 0, a] for a in range(3)], np.int32)
+        tgt_scaled = out_lat * jnp.asarray([1, 1, 2], jnp.int32)
+        f = scan_conv(x4.coords, x4.valid, x4.masked_feats(), 1,
+                      tgt_scaled, out_valid,
+                      offs, P[pre + ".conv_out.0.kernel"])
+        out = SparseTensor(out_lat, f, out_valid, 1)
+        out = self._bn_relu(P, S, ctx, pre + ".conv_out.1", out)
+        return dict(encoded_spconv_tensor=out,
+                    encoded_spconv_tensor_stride=8,
+                    multi_scale_3d_features=dict(
+                        x_conv1=x1, x_conv2=x2, x_conv3=x3, x_conv4=x4),
+                    multi_scale_3d_strides=dict(
+                        x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8))

@@ -1,4 +1,5 @@
 from .anchor_head import AnchorHeadSingle
+from .anchor_head_multi import AnchorHeadMulti
 from .cagroup_head import CAGroup3DHead
 from .rbg_head import RBGHead
 from .point_head_simple import PointHeadSimple
@@ -8,6 +9,7 @@ from .point_intra_part_head import PointIntraPartOffsetHead
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
+    "AnchorHeadMulti": AnchorHeadMulti,
     "CAGroup3DHead": CAGroup3DHead,
     "RBGHead": RBGHead,
     "PointHeadSimple": PointHeadSimple,

@@ -29,11 +29,15 @@ def limit_period(val, offset=0.5, period=math.pi):
 
 
 class ResidualCoder:
-    """box_coder_utils.ResidualCoder (:5-76)."""
+    """box_coder_utils.ResidualCoder (:5-76).  code_size > 7 appends
+    plain-residual extra dims (nuScenes velocity: cts = g - a, decoded
+    t + a), ordered after the angle terms like the reference."""
 
     def __init__(self, code_size=7, encode_angle_by_sincos=False):
+        self.box_dim = code_size                 # raw box width
         self.code_size = code_size + (1 if encode_angle_by_sincos else 0)
         self.sincos = encode_angle_by_sincos
+        self.n_extra = code_size - 7
 
     def encode(self, boxes, anchors):
         anchors = anchors.at[..., 3:6].set(
@@ -51,7 +55,9 @@ class ResidualCoder:
                    jnp.sin(boxes[..., 6]) - jnp.sin(anchors[..., 6])]
         else:
             rts = [boxes[..., 6] - anchors[..., 6]]
-        return jnp.stack([xt, yt, zt, dxt, dyt, dzt] + rts, axis=-1)
+        ext = [boxes[..., 7 + i] - anchors[..., 7 + i]
+               for i in range(self.n_extra)]
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt] + rts + ext, axis=-1)
 
     def decode(self, enc, anchors):
         diag = jnp.sqrt(anchors[..., 3] ** 2 + anchors[..., 4] ** 2)
@@ -61,12 +67,15 @@ class ResidualCoder:
         dxg = jnp.exp(enc[..., 3]) * anchors[..., 3]
         dyg = jnp.exp(enc[..., 4]) * anchors[..., 4]
         dzg = jnp.exp(enc[..., 5]) * anchors[..., 5]
+        na = 8 if self.sincos else 7
         if self.sincos:
             rg = jnp.arctan2(enc[..., 7] + jnp.sin(anchors[..., 6]),
                              enc[..., 6] + jnp.cos(anchors[..., 6]))
         else:
             rg = enc[..., 6] + anchors[..., 6]
-        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+        ext = [enc[..., na + i] + anchors[..., 7 + i]
+               for i in range(self.n_extra)]
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg] + ext, axis=-1)
 
 
 def generate_anchors(cfgs: List[dict], grid_size, pc_range):
@@ -138,9 +147,10 @@ class AnchorHeadSingle:
         self.dir_offset = float(c.get("DIR_OFFSET", 0.78539))
         self.dir_limit_offset = float(c.get("DIR_LIMIT_OFFSET", 0.0))
         self.num_dir_bins = int(c.get("NUM_DIR_BINS", 2))
+        bc = dict(c.get("BOX_CODER_CONFIG", {}) or {})
         self.coder = ResidualCoder(
-            7, bool(c.get("BOX_CODER_CONFIG", {}).get(
-                "encode_angle_by_sincos", False)))
+            int(bc.get("code_size", 7)),
+            bool(bc.get("encode_angle_by_sincos", False)))
         grids = generate_anchors(self.anchor_cfgs, self.grid_size,
                                  self.pc_range)
         if len({g.shape[:2] for g in grids}) != 1:
@@ -151,7 +161,13 @@ class AnchorHeadSingle:
         # row i matches prediction row i of the [y][x][anchor] reshape
         loc = np.concatenate(grids, axis=2)       # [ny, nx, A_loc, 7]
         ny, nx = loc.shape[:2]
-        self.anchors_np = loc.reshape(-1, 7)      # [A, 7] location-major
+        anchors = loc.reshape(-1, 7)              # [A, 7] location-major
+        if self.coder.box_dim > 7:                # zero-velocity anchors
+            anchors = np.concatenate(
+                [anchors, np.zeros((len(anchors),
+                                    self.coder.box_dim - 7), np.float32)],
+                axis=1)
+        self.anchors_np = anchors                 # [A, box_dim]
         # per-location class id + match thresholds, tiled over locations
         cls_ids, mt, ut = [], [], []
         for i, (a, g) in enumerate(zip(self.anchor_cfgs, grids)):

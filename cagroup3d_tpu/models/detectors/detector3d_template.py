@@ -56,8 +56,16 @@ class Detector3DTemplate:
         if cfg is None:
             return None
         from ..backbones_3d import __all__ as registry
+        # channel count flows from the VFE's output dim (pcdet passes
+        # model_info_dict['num_point_features']); detectors without a
+        # VFE keep each backbone's own default
+        kw = {}
+        vfe_out = getattr(getattr(self, "vfe", None),
+                          "num_point_features", None)
+        if vfe_out is not None:
+            kw["input_channels"] = int(vfe_out)
         return registry[cfg.NAME](
-            cfg, grid_size=getattr(self, "grid_size", None))
+            cfg, grid_size=getattr(self, "grid_size", None), **kw)
 
     def build_map_to_bev_module(self):
         cfg = self._cfg("MAP_TO_BEV")
@@ -101,7 +109,8 @@ class Detector3DTemplate:
             grid_size=getattr(self, "grid_size", None),
             point_cloud_range=getattr(self, "point_cloud_range", None),
             voxel_size=getattr(self, "voxel_size", None),
-            input_channels=in_ch)
+            input_channels=in_ch,
+            post_cfg=self._cfg("POST_PROCESSING"))
 
     def build_point_head(self):
         cfg = self._cfg("POINT_HEAD")

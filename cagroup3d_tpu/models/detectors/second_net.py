@@ -120,9 +120,11 @@ class SECONDNet(Detector3DTemplate):
 
         outs, updates, stats = jax.vmap(scene, axis_name="scene")(
             batch["points"], batch["points_valid"], rngs)
+        # last column is the class label; boxes are 7-dim, or 9-dim with
+        # velocity (nuScenes PRED_VELOCITY)
         loss, tb = self.dense_head.loss(
-            outs, batch["gt_boxes"][..., :7],
-            batch["gt_boxes"][..., 7].astype(jnp.int32),
+            outs, batch["gt_boxes"][..., :-1],
+            batch["gt_boxes"][..., -1].astype(jnp.int32),
             batch["gt_valid"])
         for k, v in stats.items():
             tb[k] = jnp.sum(v).astype(jnp.float32)

@@ -51,6 +51,9 @@ def main():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--ext", type=str, default=".bin")
     parser.add_argument("--out_file", type=str, default=None)
+    parser.add_argument("--render_dir", type=str, default=None,
+                        help="write a headless PNG per scene "
+                             "(visual_utils.headless_vis_utils)")
     args = parser.parse_args()
 
     import jax
@@ -90,6 +93,16 @@ def main():
                         f"box={np.round(b, 2).tolist()}")
         results.append(dict(boxes=boxes, scores=scores, labels=labels,
                             file=demo.files[i]))
+        if args.render_dir:
+            from visual_utils.headless_vis_utils import draw_scenes
+            pts = demo[i]
+            png = draw_scenes(
+                pts, ref_boxes=boxes, ref_labels=labels,
+                ref_scores=scores,
+                save_path=Path(args.render_dir) /
+                (Path(demo.files[i]).stem + ".png"),
+                title=Path(demo.files[i]).name)
+            logger.info(f"  rendered {png}")
     if args.out_file:
         with open(args.out_file, "wb") as f:
             pickle.dump(results, f)
