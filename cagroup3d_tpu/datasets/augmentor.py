@@ -97,6 +97,280 @@ def random_translation(gt_boxes, points, std, axes=("x", "y", "z")):
     return gt_boxes, points
 
 
+def get_points_in_box_mask(points, box):
+    """bool [P]: reference get_points_in_box (augmentor_utils.py:496-514):
+    rotated-BEV test with 0.1 m xy margin, axis z test, used by every
+    local (per-object) augmentation."""
+    d = points[:, :3] - box[:3]
+    c, s = np.cos(-box[6]), np.sin(-box[6])
+    lx = d[:, 0] * c - d[:, 1] * s
+    ly = d[:, 0] * s + d[:, 1] * c
+    m = 0.1
+    return (np.abs(d[:, 2]) <= box[5] / 2.0) & \
+        (np.abs(lx) <= box[3] / 2.0 + m) & (np.abs(ly) <= box[4] / 2.0 + m)
+
+
+def random_local_translation(gt_boxes, points, offset_range, axes):
+    """Per-object translation (random_local_translation_along_{x,y,z},
+    augmentor_utils.py:200-264): each box and its member points shift by
+    an independent uniform offset along each requested axis."""
+    ax_map = {"x": 0, "y": 1, "z": 2}
+    for a in axes:
+        col = ax_map[a]
+        for i in range(len(gt_boxes)):
+            off = np.random.uniform(offset_range[0], offset_range[1])
+            mask = get_points_in_box_mask(points, gt_boxes[i])
+            points[mask, col] += off
+            gt_boxes[i, col] += off
+    return gt_boxes, points
+
+
+def local_rotation(gt_boxes, points, rot_range):
+    """Per-object rotation about the box center (augmentor_utils.py:
+    368-413); heading and (9-DoF) velocity rotate with the box."""
+    for i in range(len(gt_boxes)):
+        ang = np.random.uniform(rot_range[0], rot_range[1])
+        mask = get_points_in_box_mask(points, gt_boxes[i])
+        ctr = gt_boxes[i, :3].copy()
+        points[mask] = rotate_points_along_z_np(points[mask] -
+                                                np.pad(ctr, (0, points.shape[1] - 3)), ang)
+        points[mask, :3] += ctr
+        gt_boxes[i, 6] += ang
+        if gt_boxes.shape[1] > 8:
+            v = np.array([[gt_boxes[i, 7], gt_boxes[i, 8], 0.0]])
+            gt_boxes[i, 7:9] = rotate_points_along_z_np(v, ang)[0, :2]
+    return gt_boxes, points
+
+
+def local_scaling(gt_boxes, points, scale_range):
+    """Per-object scaling about the box center (augmentor_utils.py:
+    334-365): member points scale radially, box dims scale."""
+    if scale_range[1] - scale_range[0] < 1e-3:
+        return gt_boxes, points
+    for i in range(len(gt_boxes)):
+        s = np.random.uniform(scale_range[0], scale_range[1])
+        mask = get_points_in_box_mask(points, gt_boxes[i])
+        points[mask, :3] = (points[mask, :3] - gt_boxes[i, :3]) * s + \
+            gt_boxes[i, :3]
+        gt_boxes[i, 3:6] *= s
+    return gt_boxes, points
+
+
+_FRUSTUM_AXIS = dict(top=(2, +1), bottom=(2, -1), left=(1, +1),
+                     right=(1, -1))
+
+
+def global_frustum_dropout(gt_boxes, points, intensity_range, direction):
+    """Scene-edge slab dropout (global_frustum_dropout_*, augmentor_utils
+    .py:266-331): cut a fraction of the scene extent off one side; boxes
+    whose center falls in the slab are dropped too."""
+    col, sign = _FRUSTUM_AXIS[direction]
+    t = np.random.uniform(intensity_range[0], intensity_range[1])
+    lo, hi = np.min(points[:, col]), np.max(points[:, col])
+    if sign > 0:
+        thr = hi - t * (hi - lo)
+        keep_p, keep_b = points[:, col] < thr, gt_boxes[:, col] < thr
+    else:
+        thr = lo + t * (hi - lo)
+        keep_p, keep_b = points[:, col] > thr, gt_boxes[:, col] > thr
+    return gt_boxes[keep_b], points[keep_p], keep_b
+
+
+def local_frustum_dropout(gt_boxes, points, intensity_range, direction):
+    """Per-object slab dropout (local_frustum_dropout_*, augmentor_utils
+    .py:416-493): per box, remove member points beyond a threshold cut
+    from one face inward by a random fraction of the box extent."""
+    col, sign = _FRUSTUM_AXIS[direction]
+    dim = dict(top=5, bottom=5, left=4, right=4)[direction]
+    for i in range(len(gt_boxes)):
+        t = np.random.uniform(intensity_range[0], intensity_range[1])
+        mask = get_points_in_box_mask(points, gt_boxes[i])
+        c, d = gt_boxes[i, col], gt_boxes[i, dim]
+        if sign > 0:
+            drop = mask & (points[:, col] >= (c + d / 2) - t * d)
+        else:
+            drop = mask & (points[:, col] <= (c - d / 2) + t * d)
+        points = points[~drop]
+    return gt_boxes, points
+
+
+# -- pyramid (SE-SSD) augmentation --------------------------------------
+_PYR_ORDERS = np.array([[0, 1, 5, 4], [4, 5, 6, 7], [7, 6, 2, 3],
+                        [3, 2, 1, 0], [1, 2, 6, 5], [0, 4, 7, 3]])
+
+
+def boxes_to_pyramids(boxes7):
+    """[N, 6, 5, 3]: per box, six face pyramids = apex (box center) +
+    the 4 corners of one face (get_pyramids, augmentor_utils.py:516-539;
+    same corner orders so the face indexing matches)."""
+    from ..utils.box_utils import boxes_to_corners_3d
+    corners = boxes_to_corners_3d(boxes7)            # [N, 8, 3]
+    pyr = np.empty((len(boxes7), 6, 5, 3), np.float32)
+    pyr[:, :, 0] = boxes7[:, None, :3]
+    for f, order in enumerate(_PYR_ORDERS):
+        pyr[:, f, 1:] = corners[:, order]
+    return pyr
+
+
+def points_in_pyramid_mask(points, pyr):
+    """bool [P]: point inside the convex hull of apex + base quad.
+    Half-space test against the 5 faces (replaces the reference's
+    scipy-Delaunay in_hull, box_utils.in_hull)."""
+    apex, base = pyr[0], pyr[1:]                     # [3], [4, 3]
+    centroid = (apex + base.sum(0)) / 5.0
+    faces = [(base[0], base[1], base[2])]            # base quad (planar)
+    for k in range(4):
+        faces.append((apex, base[k], base[(k + 1) % 4]))
+    ok = np.ones(len(points), bool)
+    eps = 1e-6
+    for a, b, c in faces:
+        n = np.cross(b - a, c - a)
+        if np.dot(n, centroid - a) > 0:              # orient outward
+            n = -n
+        ok &= (points[:, :3] - a) @ n <= eps
+    return ok
+
+
+def points_in_pyramids_mask(points, pyramids):
+    """bool [P, M] over flattened pyramids [M, 5, 3]."""
+    pyramids = pyramids.reshape(-1, 5, 3)
+    out = np.zeros((len(points), len(pyramids)), bool)
+    for i, pyr in enumerate(pyramids):
+        out[:, i] = points_in_pyramid_mask(points, pyr)
+    return out
+
+
+def local_pyramid_dropout(gt_boxes, points, dropout_prob, pyramids=None):
+    """Drop all points of one random face pyramid per selected box
+    (local_pyramid_dropout, augmentor_utils.py:557-571).  Returns the
+    surviving boxes' pyramids for chaining."""
+    if pyramids is None:
+        pyramids = boxes_to_pyramids(gt_boxes[:, :7])
+    if len(pyramids):
+        face = np.random.randint(0, 6, len(pyramids))
+        sel = np.random.uniform(0, 1, len(pyramids)) <= dropout_prob
+        if sel.any():
+            drop = pyramids[sel, face[sel]]          # [S, 5, 3]
+            hit = points_in_pyramids_mask(points, drop)
+            points = points[~hit.any(-1)]
+        pyramids = pyramids[~sel]
+    return gt_boxes, points, pyramids
+
+
+def local_pyramid_sparsify(gt_boxes, points, prob, max_num_pts,
+                           pyramids=None):
+    """Downsample one random face pyramid per selected box to
+    max_num_pts points (local_pyramid_sparsify, augmentor_utils.py:
+    573-604)."""
+    if pyramids is None:
+        pyramids = boxes_to_pyramids(gt_boxes[:, :7])
+    if len(pyramids):
+        face = np.random.randint(0, 6, len(pyramids))
+        sel = np.random.uniform(0, 1, len(pyramids)) <= prob
+        if sel.any():
+            cand = pyramids[sel, face[sel]]
+            masks = points_in_pyramids_mask(points, cand)
+            counts = masks.sum(0)
+            busy = counts > max_num_pts
+            if busy.any():
+                masks = masks[:, busy]
+                remain = points[~masks.any(-1)]
+                kept = []
+                for j in range(masks.shape[1]):
+                    member = points[masks[:, j]]
+                    idx = np.random.choice(len(member), max_num_pts,
+                                           replace=False)
+                    kept.append(member[idx])
+                points = np.concatenate([remain] + kept, axis=0)
+        pyramids = pyramids[~sel]
+    return gt_boxes, points, pyramids
+
+
+def _pyramid_frame(pyr):
+    """Affine frame of a face pyramid: base corner p0 + edge vectors
+    (u along p0->p1, v along p0->p3, w from the base-surface center to
+    the apex), matching the reference's (alpha, beta, gamma)
+    parametrization (local_pyramid_swap get_points_ratio)."""
+    apex, base = pyr[0], pyr[1:]
+    sc = base.mean(0)
+    return base[0], base[1] - base[0], base[3] - base[0], apex - sc, sc
+
+
+def pyramid_ratios(points, pyr):
+    p0, u, v, w, sc = _pyramid_frame(pyr)
+    a = (points[:, :3] - p0) @ u / max((u * u).sum(), 1e-9)
+    b = (points[:, :3] - p0) @ v / max((v * v).sum(), 1e-9)
+    g = (points[:, :3] - sc) @ w / max((w * w).sum(), 1e-9)
+    return a, b, g
+
+
+def pyramid_points_from_ratios(ratios, pyr):
+    a, b, g = ratios
+    p0, u, v, w, sc = _pyramid_frame(pyr)
+    return a[:, None] * u + b[:, None] * v + p0 + g[:, None] * w
+
+
+def local_pyramid_swap(gt_boxes, points, prob, max_num_pts,
+                       pyramids=None):
+    """Swap the point sets of same-face pyramids between two boxes via
+    the (alpha, beta, gamma) affine parametrization; intensity is
+    min-max remapped into the destination's range (local_pyramid_swap,
+    augmentor_utils.py:607-704)."""
+    if pyramids is None:
+        pyramids = boxes_to_pyramids(gt_boxes[:, :7])
+    if len(pyramids) < 2:
+        return gt_boxes, points
+    sel_box = np.random.uniform(0, 1, len(pyramids)) <= prob
+    if not sel_box.any():
+        return gt_boxes, points
+    masks = points_in_pyramids_mask(points, pyramids)   # [P, N*6]
+    counts = masks.sum(0).reshape(len(pyramids), 6)
+    rich = counts > max_num_pts                          # swappable
+    src_list, dst_list = [], []
+    for i in np.flatnonzero(sel_box):
+        faces = np.flatnonzero(rich[i])
+        if not len(faces):
+            continue
+        f = np.random.choice(faces)
+        partners = np.flatnonzero(rich[:, f] &
+                                  (np.arange(len(pyramids)) != i))
+        if not len(partners):
+            continue
+        j = np.random.choice(partners)
+        src_list.append((i, f))
+        dst_list.append((j, f))
+        rich[i, f] = rich[j, f] = False                  # use once
+    if not src_list:
+        return gt_boxes, points
+
+    def _remap_intensity(col, ref_col):
+        lo, hi = ref_col.min(), ref_col.max()
+        r = (col - col.min()) / max(col.max() - col.min(), 1e-6)
+        return r * (hi - lo) + lo
+
+    swap_masks = []
+    for (i, f), (j, _) in zip(src_list, dst_list):
+        swap_masks.append(masks[:, i * 6 + f])
+        swap_masks.append(masks[:, j * 6 + f])
+    any_swap = np.any(swap_masks, axis=0)
+    out = [points[~any_swap]]
+    for (i, f), (j, _) in zip(src_list, dst_list):
+        pa, pb = pyramids[i, f], pyramids[j, f]
+        pts_a, pts_b = points[masks[:, i * 6 + f]], \
+            points[masks[:, j * 6 + f]]
+        new_a = pts_b.copy()
+        new_a[:, :3] = pyramid_points_from_ratios(
+            pyramid_ratios(pts_b, pb), pa)
+        new_b = pts_a.copy()
+        new_b[:, :3] = pyramid_points_from_ratios(
+            pyramid_ratios(pts_a, pa), pb)
+        if points.shape[1] > 3:
+            new_a[:, -1] = _remap_intensity(pts_b[:, -1], pts_a[:, -1])
+            new_b[:, -1] = _remap_intensity(pts_a[:, -1], pts_b[:, -1])
+        out += [new_a, new_b]
+    return gt_boxes, np.concatenate(out, axis=0)
+
+
 def points_random_sampling(points, num_samples, return_choices=False):
     replace = points.shape[0] < num_samples
     choices = np.random.choice(points.shape[0], num_samples, replace=replace)
@@ -345,6 +619,68 @@ class DataAugmentor:
         gt, pts = random_translation(data_dict["gt_boxes"],
                                      data_dict["points"], std,
                                      config["ALONG_AXIS_LIST"])
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        return data_dict
+
+    def random_local_translation(self, data_dict, config):
+        gt, pts = random_local_translation(
+            data_dict["gt_boxes"], data_dict["points"],
+            config["LOCAL_TRANSLATION_RANGE"], config["ALONG_AXIS_LIST"])
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        return data_dict
+
+    def random_local_rotation(self, data_dict, config):
+        rr = config["LOCAL_ROT_ANGLE"]
+        rr = rr if isinstance(rr, list) else [-rr, rr]
+        gt, pts = local_rotation(data_dict["gt_boxes"],
+                                 data_dict["points"], rr)
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        return data_dict
+
+    def random_local_scaling(self, data_dict, config):
+        gt, pts = local_scaling(data_dict["gt_boxes"], data_dict["points"],
+                                config["LOCAL_SCALE_RANGE"])
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict, config):
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        keep = np.arange(len(gt))
+        for direction in config["DIRECTION"]:
+            # keep names/mask aligned with the surviving boxes (the
+            # reference drops gt_boxes rows only — a latent misalignment
+            # it ships with; we align the parallel arrays)
+            gt, pts, kb = global_frustum_dropout(
+                gt, pts, config["INTENSITY_RANGE"], direction)
+            keep = keep[kb]
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        if len(keep) < len(data_dict["gt_names"]):
+            data_dict["gt_names"] = data_dict["gt_names"][keep]
+            if "gt_boxes_mask" in data_dict:
+                data_dict["gt_boxes_mask"] = \
+                    data_dict["gt_boxes_mask"][keep]
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict, config):
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        for direction in config["DIRECTION"]:
+            gt, pts = local_frustum_dropout(gt, pts,
+                                            config["INTENSITY_RANGE"],
+                                            direction)
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        return data_dict
+
+    def random_local_pyramid_aug(self, data_dict, config):
+        """SE-SSD pyramid dropout -> sparsify -> swap chain
+        (data_augmentor.py:222-245)."""
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        gt, pts, pyr = local_pyramid_dropout(gt, pts, config["DROP_PROB"])
+        gt, pts, pyr = local_pyramid_sparsify(gt, pts,
+                                              config["SPARSIFY_PROB"],
+                                              config["SPARSIFY_MAX_NUM"],
+                                              pyr)
+        gt, pts = local_pyramid_swap(gt, pts, config["SWAP_PROB"],
+                                     config["SWAP_MAX_NUM"], pyr)
         data_dict["gt_boxes"], data_dict["points"] = gt, pts
         return data_dict
 

@@ -41,11 +41,47 @@ def mask_points_and_boxes_outside_range(data_dict, pc_range,
     return data_dict
 
 
+def parse_sample_points(dataset_cfg, mode):
+    """NUM_POINTS[mode] of the 'sample_points' DATA_PROCESSOR entry
+    (-1/absent -> None)."""
+    for proc in dataset_cfg.get("DATA_PROCESSOR", []):
+        if proc.get("NAME") == "sample_points":
+            n = int(dict(proc.get("NUM_POINTS", {})).get(mode, -1))
+            return n if n > 0 else None
+    return None
+
+
+def sample_points_depth_split(points, num_points, rs):
+    """DataProcessor 'sample_points' (data_processor.py:145-175): when
+    downsampling, keep ALL far points (depth >= 40 m) and fill the rest
+    from near points — preserves the sparse far field PointRCNN needs.
+    Upsampling pads with duplicate draws like the reference."""
+    if num_points == len(points):
+        return points
+    if num_points < len(points):
+        depth = np.linalg.norm(points[:, :3], axis=1)
+        far = np.flatnonzero(depth >= 40.0)
+        near = np.flatnonzero(depth < 40.0)
+        if num_points > len(far):
+            pick_near = rs.choice(near, num_points - len(far),
+                                  replace=False)
+            choice = np.concatenate([pick_near, far]) if len(far) \
+                else pick_near
+        else:
+            choice = rs.choice(len(points), num_points, replace=False)
+    else:
+        extra = rs.choice(len(points), num_points - len(points),
+                          replace=len(points) < num_points - len(points))
+        choice = np.concatenate([np.arange(len(points)), extra])
+    rs.shuffle(choice)
+    return points[choice]
+
+
 def prepare_outdoor_sample(data_dict, rs, *, augmentor, shuffle_points,
                            class_names, pc_range, point_cap, max_gt,
-                           box_dim=7):
+                           box_dim=7, sample_num_points=None):
     """Shared outdoor train/eval prep: augment (train) -> shuffle ->
-    range mask -> class filter -> pad to static caps.
+    range mask -> sample_points -> class filter -> pad to static caps.
 
     Condenses the reference's DatasetTemplate.prepare_data +
     DataProcessor chain (dataset.py:88-158, data_processor.py) for the
@@ -66,6 +102,9 @@ def prepare_outdoor_sample(data_dict, rs, *, augmentor, shuffle_points,
     keep = np.all((pts[:, :3] >= rng[:3]) & (pts[:, :3] < rng[3:6]),
                   axis=1)
     pts = pts[keep]
+    if sample_num_points and len(pts):
+        pts = sample_points_depth_split(
+            pts, min(int(sample_num_points), point_cap), rs)
     boxes = data_dict["gt_boxes"]
     names = data_dict["gt_names"]
     cls_mask = np.isin(names, class_names)

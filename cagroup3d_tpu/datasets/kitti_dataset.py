@@ -122,6 +122,9 @@ class KittiDataset(DatasetTemplate):
             from .augmentor import DataAugmentor
             self.augmentor = DataAugmentor(root, aug_cfg, class_names,
                                            logger=logger)
+        from .dataset import parse_sample_points
+        self.sample_num_points = parse_sample_points(
+            dataset_cfg, self.mode)
         self.shuffle_points = False
         self.depth_downsample = 1
         for proc in dataset_cfg.get("DATA_PROCESSOR", []):
@@ -254,7 +257,8 @@ class KittiDataset(DatasetTemplate):
             shuffle_points=self.shuffle_points,
             class_names=self.class_names,
             pc_range=self.dataset_cfg.POINT_CLOUD_RANGE,
-            point_cap=self.point_cap, max_gt=self.max_gt)
+            point_cap=self.point_cap, max_gt=self.max_gt,
+            sample_num_points=self.sample_num_points)
 
     # ------------------------------------------------------------------
     def _info_for_frame(self, frame_id):

@@ -58,6 +58,9 @@ class NuScenesDataset(DatasetTemplate):
             from .augmentor import DataAugmentor
             self.augmentor = DataAugmentor(self.root_path, aug_cfg,
                                            class_names, logger=logger)
+        from .dataset import parse_sample_points
+        self.sample_num_points = parse_sample_points(
+            dataset_cfg, self.mode)
         self.shuffle_points = False
         for proc in dataset_cfg.get("DATA_PROCESSOR", []):
             if proc.get("NAME") == "shuffle_points":
@@ -165,7 +168,8 @@ class NuScenesDataset(DatasetTemplate):
             class_names=self.class_names,
             pc_range=self.dataset_cfg.POINT_CLOUD_RANGE,
             point_cap=self.point_cap, max_gt=self.max_gt,
-            box_dim=self.box_dim)
+            box_dim=self.box_dim,
+            sample_num_points=self.sample_num_points)
 
     def collate_batch(self, batch_list, n_classes=None):
         out = {}

@@ -92,6 +92,9 @@ class PandasetDataset(DatasetTemplate):
             from .augmentor import DataAugmentor
             self.augmentor = DataAugmentor(self.root_path, aug_cfg,
                                            class_names, logger=logger)
+        from .dataset import parse_sample_points
+        self.sample_num_points = parse_sample_points(
+            dataset_cfg, self.mode)
         self.shuffle_points = False
         for proc in dataset_cfg.get("DATA_PROCESSOR", []):
             if proc.get("NAME") == "shuffle_points":
@@ -172,7 +175,8 @@ class PandasetDataset(DatasetTemplate):
             shuffle_points=self.shuffle_points,
             class_names=self.class_names,
             pc_range=self.dataset_cfg.POINT_CLOUD_RANGE,
-            point_cap=self.point_cap, max_gt=self.max_gt)
+            point_cap=self.point_cap, max_gt=self.max_gt,
+            sample_num_points=self.sample_num_points)
         out["zrot_world_to_ego"] = np.float32(zrot)
         out["pose"] = np.array(
             [pose["position"]["x"], pose["position"]["y"],

@@ -109,6 +109,9 @@ class WaymoDataset(DatasetTemplate):
             from .augmentor import DataAugmentor
             self.augmentor = DataAugmentor(root, aug_cfg, class_names,
                                            logger=logger)
+        from .dataset import parse_sample_points
+        self.sample_num_points = parse_sample_points(
+            dataset_cfg, self.mode)
         self.shuffle_points = False
         for proc in dataset_cfg.get("DATA_PROCESSOR", []):
             if proc.get("NAME") == "shuffle_points":
@@ -172,7 +175,8 @@ class WaymoDataset(DatasetTemplate):
             shuffle_points=self.shuffle_points,
             class_names=self.class_names,
             pc_range=self.dataset_cfg.POINT_CLOUD_RANGE,
-            point_cap=self.point_cap, max_gt=self.max_gt)
+            point_cap=self.point_cap, max_gt=self.max_gt,
+            sample_num_points=self.sample_num_points)
 
     def collate_batch(self, batch_list, n_classes=None):
         out = {}

@@ -29,7 +29,8 @@ from ...core import nms as nms_mod
 from ...core.module import Ctx, Params, apply_bn, init_bn
 from ...utils import loss_utils as L
 from ..backbones_2d.base_bev_backbone import _conv2d, _init_conv2d
-from .anchor_head import ResidualCoder, bev_iou, generate_anchors
+from .anchor_head import ResidualCoder, bev_iou, generate_anchors, \
+    limit_period as _limit_period
 
 
 class AnchorHeadMulti:
@@ -55,21 +56,22 @@ class AnchorHeadMulti:
             int(bc.get("code_size", 7)),
             bool(bc.get("encode_angle_by_sincos", False)))
         src = c.get("SEPARATE_REG_CONFIG", None)
-        if src is None:
-            raise NotImplementedError(
-                "AnchorHeadMulti requires SEPARATE_REG_CONFIG "
-                "(the shipped CBGS configs all use it)")
+        self.separate_reg = src is not None
         self.reg_list: List[Tuple[str, int]] = []
-        for spec in src.REG_LIST:
-            name, ch = str(spec).split(":")
-            self.reg_list.append((name, int(ch)))
-        assert sum(ch for _, ch in self.reg_list) == self.coder.code_size
-        self.n_middle = int(src.get("NUM_MIDDLE_CONV", 1))
-        self.mid_ch = int(src.get("NUM_MIDDLE_FILTER", 64))
-        if c.get("USE_DIRECTION_CLASSIFIER", False):
-            raise NotImplementedError(
-                "CBGS multihead encodes angle via sincos, no dir "
-                "classifier (cbgs_second_multihead.yaml has none)")
+        if self.separate_reg:
+            for spec in src.REG_LIST:
+                name, ch = str(spec).split(":")
+                self.reg_list.append((name, int(ch)))
+            assert sum(ch for _, ch in self.reg_list) == \
+                self.coder.code_size
+            self.n_middle = int(src.get("NUM_MIDDLE_CONV", 1))
+            self.mid_ch = int(src.get("NUM_MIDDLE_FILTER", 64))
+        # direction classifier (second_multihead.yaml; SingleHead
+        # conv_dir_cls, anchor_head_multi.py:60-66)
+        self.use_dir = bool(c.get("USE_DIRECTION_CLASSIFIER", False))
+        self.dir_offset = float(c.get("DIR_OFFSET", 0.78539))
+        self.dir_limit_offset = float(c.get("DIR_LIMIT_OFFSET", 0.0))
+        self.num_dir_bins = int(c.get("NUM_DIR_BINS", 2))
 
         # ---- per-head anchor tables (anchor-major flat layout) --------
         self.heads = []
@@ -112,6 +114,7 @@ class AnchorHeadMulti:
         self.w_loc = float(lw["loc_weight"])
         self.w_pos = float(lw.get("pos_cls_weight", 1.0))
         self.w_neg = float(lw.get("neg_cls_weight", 1.0))
+        self.w_dir = float(lw.get("dir_weight", 0.2))
         self.code_weights = [float(x) for x in lw["code_weights"]]
         pp = kwargs.get("post_cfg", c.get("POST_PROCESSING", None))
         self.nms_cfg = (pp or c).get("NMS_CONFIG", c.get("NMS_CONFIG",
@@ -127,8 +130,8 @@ class AnchorHeadMulti:
         P: Params = {}
         S: Params = {}
         r = iter(jax.random.split(rng, 4 + len(self.heads) *
-                                  (2 + len(self.reg_list)) *
-                                  (self.n_middle + 1)))
+                                  (3 + len(self.reg_list)) *
+                                  (getattr(self, "n_middle", 0) + 2)))
         _init_conv2d(P, next(r), prefix + ".shared_conv", 3,
                      self.in_ch, self.shared_ch)
         init_bn(P, S, prefix + ".shared_conv.bn", self.shared_ch)
@@ -143,13 +146,28 @@ class AnchorHeadMulti:
             _init_conv2d(P, next(r), f"{path}.out", 3, cin, cout)
             P[f"{path}.out.bias"] = jnp.full((cout,), bias_init)
 
+        def conv1x1(path, cout, bias_init=0.0, scale=0.01):
+            P[f"{path}.weight"] = jax.random.normal(
+                next(r), (self.shared_ch, cout)) * scale
+            P[f"{path}.bias"] = jnp.full((cout,), bias_init)
+
         for hi, h in enumerate(self.heads):
             A = h["n_anchors_per_loc"]
             K = len(h["names"])
-            branch(f"{prefix}.head{hi}.cls", A * K,
-                   -math.log((1 - 0.01) / 0.01))
-            for name, ch in self.reg_list:
-                branch(f"{prefix}.head{hi}.{name}", A * ch)
+            if self.separate_reg:
+                branch(f"{prefix}.head{hi}.cls", A * K,
+                       -math.log((1 - 0.01) / 0.01))
+                for name, ch in self.reg_list:
+                    branch(f"{prefix}.head{hi}.{name}", A * ch)
+            else:
+                # SingleHead without separate reg: plain 1x1 cls/box
+                # convs (anchor_head_multi.py:67-79)
+                conv1x1(f"{prefix}.head{hi}.cls", A * K,
+                        -math.log((1 - 0.01) / 0.01))
+                conv1x1(f"{prefix}.head{hi}.box",
+                        A * self.coder.code_size, scale=0.001)
+            if self.use_dir:
+                conv1x1(f"{prefix}.head{hi}.dir", A * self.num_dir_bins)
         return P, S
 
     def _branch(self, P, S, ctx, path, x):
@@ -180,17 +198,34 @@ class AnchorHeadMulti:
                      momentum=0.01, eps=1e-3).reshape(H, W, C)
         x = jnp.maximum(x, 0.0)
         out: Dict = {}
+        flat = x.reshape(-1, x.shape[-1])
         for hi, h in enumerate(self.heads):
             A = h["n_anchors_per_loc"]
             K = len(h["names"])
-            cls = self._branch(P, S, ctx, f"{prefix}.head{hi}.cls", x)
-            out[f"cls_preds_{hi}"] = self._anchor_major(cls, A, K)
-            regs = []
-            for name, ch in self.reg_list:
-                rmap = self._branch(P, S, ctx,
-                                    f"{prefix}.head{hi}.{name}", x)
-                regs.append(self._anchor_major(rmap, A, ch))
-            out[f"box_preds_{hi}"] = jnp.concatenate(regs, axis=-1)
+            if self.separate_reg:
+                cls = self._branch(P, S, ctx, f"{prefix}.head{hi}.cls", x)
+                out[f"cls_preds_{hi}"] = self._anchor_major(cls, A, K)
+                regs = []
+                for name, ch in self.reg_list:
+                    rmap = self._branch(P, S, ctx,
+                                        f"{prefix}.head{hi}.{name}", x)
+                    regs.append(self._anchor_major(rmap, A, ch))
+                out[f"box_preds_{hi}"] = jnp.concatenate(regs, axis=-1)
+            else:
+                cls = flat @ P[f"{prefix}.head{hi}.cls.weight"] + \
+                    P[f"{prefix}.head{hi}.cls.bias"]
+                box = flat @ P[f"{prefix}.head{hi}.box.weight"] + \
+                    P[f"{prefix}.head{hi}.box.bias"]
+                out[f"cls_preds_{hi}"] = self._anchor_major(
+                    cls.reshape(*x.shape[:2], -1), A, K)
+                out[f"box_preds_{hi}"] = self._anchor_major(
+                    box.reshape(*x.shape[:2], -1), A,
+                    self.coder.code_size)
+            if self.use_dir:
+                d = flat @ P[f"{prefix}.head{hi}.dir.weight"] + \
+                    P[f"{prefix}.head{hi}.dir.bias"]
+                out[f"dir_preds_{hi}"] = self._anchor_major(
+                    d.reshape(*x.shape[:2], -1), A, self.num_dir_bins)
         return out
 
     # ------------------------------------------------------------------
@@ -229,6 +264,7 @@ class AnchorHeadMulti:
 
         cls_total = 0.0
         loc_total = 0.0
+        dir_total = 0.0
         for hi, (h, (labels, tgt, reg_w)) in enumerate(
                 zip(self.heads, per_head)):
             labels = jax.lax.stop_gradient(labels)
@@ -243,14 +279,37 @@ class AnchorHeadMulti:
                       ).astype(jnp.float32)
             cls_loss = jnp.sum(L.sigmoid_focal_loss(
                 outs[f"cls_preds_{hi}"], onehot, weight=cls_w)) / B
-            loc = L.weighted_l1(outs[f"box_preds_{hi}"], tgt,
-                                weights=reg_w / pos_norm,
+            # sin-difference angle encoding when the coder keeps a raw
+            # angle residual (anchor_head_template.py:117-131)
+            bp, bt = outs[f"box_preds_{hi}"], tgt
+            if not self.coder.sincos:
+                sin_p = jnp.sin(bp[..., 6]) * jnp.cos(bt[..., 6])
+                sin_t = jnp.cos(bp[..., 6]) * jnp.sin(bt[..., 6])
+                bp = bp.at[..., 6].set(sin_p)
+                bt = bt.at[..., 6].set(sin_t)
+            loc = L.weighted_l1(bp, bt, weights=reg_w / pos_norm,
                                 code_weights=self.code_weights)
             cls_total = cls_total + cls_loss * self.w_cls
             loc_total = loc_total + jnp.sum(loc) / B * self.w_loc
-        total = cls_total + loc_total
-        return total, dict(rpn_loss_cls=cls_total, rpn_loss_loc=loc_total,
-                           rpn_loss=total)
+            if self.use_dir and f"dir_preds_{hi}" in outs:
+                anchors = jnp.asarray(h["anchors"])
+                rot_gt = tgt[..., 6] + anchors[None, :, 6] \
+                    if not self.coder.sincos else anchors[None, :, 6]
+                offs = _limit_period(rot_gt - self.dir_offset, 0,
+                                     2 * math.pi)
+                dir_t = jnp.clip(
+                    (offs / (2 * math.pi / self.num_dir_bins))
+                    .astype(jnp.int32), 0, self.num_dir_bins - 1)
+                dl = L.cross_entropy_with_logits(
+                    outs[f"dir_preds_{hi}"], dir_t)
+                dir_total = dir_total + \
+                    jnp.sum(dl * reg_w / pos_norm) / B * self.w_dir
+        total = cls_total + loc_total + dir_total
+        tb = dict(rpn_loss_cls=cls_total, rpn_loss_loc=loc_total,
+                  rpn_loss=total)
+        if self.use_dir:
+            tb["rpn_loss_dir"] = dir_total
+        return total, tb
 
     # ------------------------------------------------------------------
     def generate_predicted_boxes(self, outs: Dict):
@@ -260,6 +319,13 @@ class AnchorHeadMulti:
         for hi, h in enumerate(self.heads):
             anchors = jnp.asarray(h["anchors"])
             boxes = self.coder.decode(outs[f"box_preds_{hi}"], anchors)
+            if self.use_dir and f"dir_preds_{hi}" in outs:
+                dir_lab = jnp.argmax(outs[f"dir_preds_{hi}"], axis=-1)
+                period = 2 * math.pi / self.num_dir_bins
+                rot = _limit_period(boxes[..., 6] - self.dir_offset,
+                                    self.dir_limit_offset, period)
+                boxes = boxes.at[..., 6].set(
+                    rot + self.dir_offset + period * dir_lab)
             sc = jax.nn.sigmoid(outs[f"cls_preds_{hi}"])   # [Ah, Kh]
             # scatter head-local class columns into the global class axis
             full = jnp.zeros((sc.shape[0], self.num_class), sc.dtype)

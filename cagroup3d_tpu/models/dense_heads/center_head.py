@@ -201,10 +201,9 @@ class CenterHead:
         return total, tb
 
     # ------------------------------------------------------------------
-    def generate_predicted_boxes(self, outs: List[Dict]):
-        """Per scene: top-k peak decode per group + rotated NMS
-        (decode_bbox_from_heatmap + generate_predicted_boxes,
-        center_head.py:253-305)."""
+    def _decode_groups(self, outs: List[Dict]):
+        """Pre-NMS top-k peak decode over every head group: (boxes
+        [M, 7], scores [M], labels [M], valid [M])."""
         Hf, Wf = self.fmap_hw
         K = min(self.max_obj, Hf * Wf)
         all_boxes, all_scores, all_labels, all_valid = [], [], [], []
@@ -232,10 +231,27 @@ class CenterHead:
             all_scores.append(scores)
             all_labels.append(labels)
             all_valid.append(ok)
-        boxes = jnp.concatenate(all_boxes)
-        scores = jnp.concatenate(all_scores)
-        labels = jnp.concatenate(all_labels)
-        valid = jnp.concatenate(all_valid)
+        return (jnp.concatenate(all_boxes), jnp.concatenate(all_scores),
+                jnp.concatenate(all_labels), jnp.concatenate(all_valid))
+
+    def decoded_boxes(self, outs: List[Dict]):
+        """RPN surface for two-stage detectors using CenterHead as the
+        dense head (pv_rcnn_with_centerhead_rpn.yaml, voxel_rcnn_with_
+        centerhead_dyn_voxel.yaml): pre-NMS (boxes [M, 7], class scores
+        [M, K]) exactly like AnchorHeadSingle.decoded_boxes, so the RoI
+        proposal layer (top-k + NMS) is head-agnostic."""
+        boxes, scores, labels, valid = self._decode_groups(outs)
+        sc = jnp.where(valid, scores, 0.0)
+        full = jnp.zeros((boxes.shape[0], len(self.class_names)),
+                         scores.dtype)
+        full = full.at[jnp.arange(boxes.shape[0]), labels].set(sc)
+        return boxes, full
+
+    def generate_predicted_boxes(self, outs: List[Dict]):
+        """Per scene: top-k peak decode per group + rotated NMS
+        (decode_bbox_from_heatmap + generate_predicted_boxes,
+        center_head.py:253-305)."""
+        boxes, scores, labels, valid = self._decode_groups(outs)
         pre = int(self.nms_cfg.get("NMS_PRE_MAXSIZE", 1000))
         post = int(self.nms_cfg.get("NMS_POST_MAXSIZE", 83))
         thr = float(self.nms_cfg.get("NMS_THRESH", 0.2))

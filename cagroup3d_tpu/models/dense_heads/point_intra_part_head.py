@@ -87,6 +87,14 @@ class PointIntraPartOffsetHead:
         return (outs["cls"], outs["part"], outs.get("box"),
                 jnp.where(valid, scores, 0.0))
 
+    def predicted_boxes(self, points, cls_preds, box_preds):
+        """Decode per-point proposals for the anchor-free PartA2_free
+        pipeline (generate_predicted_boxes, point_head_template.py:
+        152-172); requires TARGET_CONFIG.BOX_CODER."""
+        cls_ids = jnp.argmax(cls_preds, axis=-1).astype(jnp.int32)
+        boxes = self.coder.decode(box_preds, points, cls_ids)
+        return boxes, jax.nn.sigmoid(cls_preds), cls_ids
+
     # ------------------------------------------------------------------
     def assign_targets(self, points, pvalid, gt_boxes, gt_labels,
                        gt_valid):

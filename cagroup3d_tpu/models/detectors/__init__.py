@@ -27,5 +27,13 @@ __all__ = {
 
 
 def build_detector(model_cfg, num_class, dataset):
-    return __all__[model_cfg.NAME](model_cfg=model_cfg, num_class=num_class,
-                                   dataset=dataset)
+    cls = __all__[model_cfg.NAME]
+    # "PartA2_free": the reference builds it through detector NAME
+    # PointRCNN with a UNetV2 voxel backbone + PartA2FCHead (the generic
+    # template skips the absent anchor-RPN slots); our per-detector
+    # dataflows dispatch on the backbone here.
+    if model_cfg.NAME == "PointRCNN" and \
+            model_cfg.get("BACKBONE_3D", {}).get("NAME") == "UNetV2":
+        from .parta2_free import PartA2FreeNet
+        cls = PartA2FreeNet
+    return cls(model_cfg=model_cfg, num_class=num_class, dataset=dataset)

@@ -46,7 +46,14 @@ class Detector3DTemplate:
         if cfg is None:
             return None  # indoor models voxelize on-device (cagroup3d.py)
         from ..backbones_3d.vfe import MeanVFE, PillarVFE
-        reg = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE}
+        # DynMeanVFE / DynPillarVFE (reference dynamic_{mean,pillar}_vfe
+        # .py) differ from the base VFEs only in processing ALL points
+        # via scatter instead of the padded [voxel, max_points] layout;
+        # our on-device VFEs are already dynamic (unique_voxels segment
+        # reduce over every point, no per-voxel point cap), so the
+        # dynamic names resolve to the same modules.
+        reg = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE,
+               "DynMeanVFE": MeanVFE, "DynPillarVFE": PillarVFE}
         return reg[cfg.NAME](cfg,
                              num_point_features=int(cfg.get(
                                  "NUM_POINT_FEATURES", 4)))

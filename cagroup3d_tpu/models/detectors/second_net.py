@@ -28,8 +28,12 @@ class SECONDNet(Detector3DTemplate):
             for proc in dataset.dataset_cfg.get("DATA_PROCESSOR", []):
                 # calculate_grid_size: CaDDN's processor carries the
                 # voxel size without voxelizing (camera-only pipeline)
-                if proc.get("NAME") in ("transform_points_to_voxels",
-                                        "calculate_grid_size"):
+                # _placeholder: the dynamic-VFE configs carry VOXEL_SIZE
+                # without host voxelization (ours is on-device anyway)
+                if proc.get("NAME") in (
+                        "transform_points_to_voxels",
+                        "transform_points_to_voxels_placeholder",
+                        "calculate_grid_size"):
                     vs = list(proc["VOXEL_SIZE"])
         self.point_cloud_range = [float(x) for x in pcr]
         self.voxel_size = [float(x) for x in vs]
@@ -53,8 +57,10 @@ class SECONDNet(Detector3DTemplate):
             hashing.set_key_bits(*bits)
         self.input_cap = int(model_cfg.get("INPUT_CAP", 65536))
         if self.class_names is None:
-            dh = model_cfg.DENSE_HEAD
-            if dh.get("ANCHOR_GENERATOR_CONFIG") is not None:
+            dh = model_cfg.get("DENSE_HEAD", None)
+            if dh is None:      # anchor-free PartA2_free: no dense head
+                pass
+            elif dh.get("ANCHOR_GENERATOR_CONFIG") is not None:
                 self.class_names = [a["class_name"] for a in
                                     dh.ANCHOR_GENERATOR_CONFIG]
             else:   # CenterHead: classes come from the head groups

@@ -346,3 +346,54 @@ def test_multihead_anchor_major_layout():
     h1 = head.heads[1]
     assert h1["n_anchors_per_loc"] == 4
     assert h1["class_ids"] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# second_multihead-style head: non-separate reg + direction classifier
+# (reference tools/cfgs/kitti_models/second_multihead.yaml)
+# ---------------------------------------------------------------------------
+def multihead_dir_cfg():
+    cfg = multihead_cfg()
+    dh = cfg.DENSE_HEAD
+    del dh["SEPARATE_REG_CONFIG"]
+    dh.USE_DIRECTION_CLASSIFIER = True
+    dh.DIR_OFFSET = 0.78539
+    dh.DIR_LIMIT_OFFSET = 0.0
+    dh.NUM_DIR_BINS = 2
+    dh.TARGET_ASSIGNER_CONFIG = dict(
+        NAME="AxisAlignedTargetAssigner", BOX_CODER="ResidualCoder",
+        BOX_CODER_CONFIG=dict(code_size=7))
+    dh.LOSS_CONFIG = dict(LOSS_WEIGHTS=dict(
+        pos_cls_weight=1.0, neg_cls_weight=2.0, cls_weight=1.0,
+        loc_weight=2.0, dir_weight=0.2, code_weights=[1.0] * 7))
+    return cfg
+
+
+def test_multihead_nonseparate_dir_train_eval(rng):
+    cfg = multihead_dir_cfg()
+    model = build_network(cfg, num_class=3)
+    P, S = model.init(jax.random.PRNGKey(0))
+    assert "dense_head.head0.box.weight" in P      # single 1x1 box conv
+    assert "dense_head.head0.dir.weight" in P
+    batch = multihead_batch(rng)
+    batch["gt_boxes"] = batch["gt_boxes"][..., [0, 1, 2, 3, 4, 5, 6, 9]]
+
+    def loss_fn(P):
+        loss, tb, upd = model.forward_train(P, S, batch,
+                                            jax.random.PRNGKey(1))
+        return loss, (tb, upd)
+
+    (loss, (tb, upd)), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(P)
+    assert np.isfinite(float(loss)), tb
+    assert float(tb["rpn_loss_loc"]) > 0
+    assert float(tb["rpn_loss_dir"]) > 0
+    for hi in range(2):
+        for br in ("cls", "box", "dir"):
+            key = f"dense_head.head{hi}.{br}.weight"
+            assert float(jnp.abs(grads[key]).sum()) > 0, key
+
+    out = jax.jit(lambda p, b: model.forward_eval(p, S, b))(
+        P, {k: v[:1] for k, v in batch.items()})
+    assert out["pred_boxes"].shape == (1, 64, 7)   # 7-DoF decode
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
