@@ -205,7 +205,12 @@ class KittiDataset(DatasetTemplate):
         if annos is not None:
             mask = annos["name"] != "DontCare"
             if "gt_boxes_lidar" in annos:
-                gt_boxes = annos["gt_boxes_lidar"][mask].astype(np.float32)
+                gb = np.asarray(annos["gt_boxes_lidar"], np.float32)
+                # reference get_infos excludes DontCare rows from
+                # gt_boxes_lidar already (kitti_dataset.py:192-200);
+                # some custom pickles keep full-length arrays
+                gt_boxes = gb if len(gb) == int(mask.sum()) \
+                    else gb[mask]
             else:
                 loc = annos["location"][mask]
                 dims = annos["dimensions"][mask]   # l, h, w
