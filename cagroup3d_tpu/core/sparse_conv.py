@@ -297,7 +297,8 @@ def scan_conv_grouped_t(src_coords, src_valid, src_feats, src_stride: int,
 
 def scan_conv_grouped_classes_t(coords, valid, feats, stride: int,
                                 kernel_size: int, w,
-                                compute_dtype=jnp.bfloat16):
+                                compute_dtype=jnp.bfloat16,
+                                w_groups: int = 0):
     """scan_conv_grouped_classes with the scatter-free backward (same
     construction: submanifold => transpose = reversed-offset conv)."""
 
@@ -305,7 +306,8 @@ def scan_conv_grouped_classes_t(coords, valid, feats, stride: int,
     def f(coords, valid, feats, w):
         return scan_conv_grouped_classes(coords, valid, feats, stride,
                                          kernel_size, w,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         w_groups=w_groups)
 
     def fwd(coords, valid, feats, w):
         return f(coords, valid, feats, w), (coords, valid, feats, w)
@@ -315,12 +317,13 @@ def scan_conv_grouped_classes_t(coords, valid, feats, stride: int,
         g = jnp.where(valid[..., None], g, 0.0)
         df = scan_conv_grouped_classes(coords, valid, g, stride,
                                        kernel_size, _w_rev_t(w),
-                                       compute_dtype=compute_dtype
+                                       compute_dtype=compute_dtype,
+                                       w_groups=w_groups
                                        ).astype(feats.dtype)
         dw = _dw_only(
             lambda ww: scan_conv_grouped_classes(
                 coords, valid, feats, stride, kernel_size, ww,
-                compute_dtype=compute_dtype), w, g)
+                compute_dtype=compute_dtype, w_groups=w_groups), w, g)
         return _f0(coords), _f0(valid), df, dw
 
     f.defvjp(fwd, bwd)
@@ -330,7 +333,7 @@ def scan_conv_grouped_classes_t(coords, valid, feats, stride: int,
 def scan_conv_at_classes_t(src_coords, src_valid, src_feats,
                            src_stride: int, tgt_coords, tgt_valid,
                            offsets: np.ndarray, w, tgt_stride: int = 1,
-                           compute_dtype=jnp.bfloat16):
+                           compute_dtype=jnp.bfloat16, w_groups: int = 0):
     """scan_conv_at_classes with the scatter-free backward: dL/dfeats is
     the same per-class conv-at-coords run tgt->src with NEGATED offsets
     and per-offset-transposed weights (no kernel-axis reversal — the
@@ -341,7 +344,8 @@ def scan_conv_at_classes_t(src_coords, src_valid, src_feats,
         return scan_conv_at_classes(src_coords, src_valid, src_feats,
                                     src_stride, tgt_coords, tgt_valid,
                                     offsets, w,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    w_groups=w_groups)
 
     def fwd(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
         return (f(src_coords, src_valid, tgt_coords, tgt_valid,
@@ -355,12 +359,14 @@ def scan_conv_at_classes_t(src_coords, src_valid, src_feats,
         df = scan_conv_at_classes(tgt_coords, tgt_valid, g, tgt_stride,
                                   src_coords, src_valid, -offsets,
                                   jnp.swapaxes(w, -1, -2),
-                                  compute_dtype=compute_dtype
+                                  compute_dtype=compute_dtype,
+                                  w_groups=w_groups
                                   ).astype(src_feats.dtype)
         dw = _dw_only(
             lambda ww: scan_conv_at_classes(
                 src_coords, src_valid, src_feats, src_stride, tgt_coords,
-                tgt_valid, offsets, ww, compute_dtype=compute_dtype),
+                tgt_valid, offsets, ww, compute_dtype=compute_dtype,
+                w_groups=w_groups),
             w, g)
         return (_f0(src_coords), _f0(src_valid), _f0(tgt_coords),
                 _f0(tgt_valid), df, dw)
@@ -371,7 +377,7 @@ def scan_conv_at_classes_t(src_coords, src_valid, src_feats,
 
 def generative_up_classes_t(src_coords, src_valid, src_feats, factor: int,
                             tgt_coords, tgt_valid, w,
-                            compute_dtype=jnp.bfloat16):
+                            compute_dtype=jnp.bfloat16, w_groups: int = 0):
     """generative_up_classes with the scatter-free backward.  Each fine
     voxel has one (parent, slot-j) pair with j equal to the ascending
     enumeration index of d = fine - parent_raw, so dL/dsrc is a per-class
@@ -380,13 +386,15 @@ def generative_up_classes_t(src_coords, src_valid, src_feats, factor: int,
     if factor % 2 == 0:
         return generative_up_classes(src_coords, src_valid, src_feats,
                                      factor, tgt_coords, tgt_valid, w,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     w_groups=w_groups)
 
     @jax.custom_vjp
     def f(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
         return generative_up_classes(src_coords, src_valid, src_feats,
                                      factor, tgt_coords, tgt_valid, w,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     w_groups=w_groups)
 
     def fwd(src_coords, src_valid, tgt_coords, tgt_valid, src_feats, w):
         return (f(src_coords, src_valid, tgt_coords, tgt_valid,
@@ -402,12 +410,14 @@ def generative_up_classes_t(src_coords, src_valid, src_feats, factor: int,
                                   src_coords, src_valid,
                                   kernel_offsets(factor),
                                   jnp.swapaxes(w, -1, -2),
-                                  compute_dtype=compute_dtype
+                                  compute_dtype=compute_dtype,
+                                  w_groups=w_groups
                                   ).astype(src_feats.dtype)
         dw = _dw_only(
             lambda ww: generative_up_classes(
                 src_coords, src_valid, src_feats, factor, tgt_coords,
-                tgt_valid, ww, compute_dtype=compute_dtype), w, g)
+                tgt_valid, ww, compute_dtype=compute_dtype,
+                w_groups=w_groups), w, g)
         return (_f0(src_coords), _f0(src_valid), _f0(tgt_coords),
                 _f0(tgt_valid), df, dw)
 
@@ -429,7 +439,8 @@ def _chunk_table(skeys, svals):
 
 def scan_conv_grouped_classes(coords, valid, feats, stride: int,
                               kernel_size: int, w,
-                              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                              compute_dtype=jnp.bfloat16,
+                              w_groups: int = 0) -> jnp.ndarray:
     """Per-class grouped submanifold conv with the class axis FLATTENED
     out of every gather.
 
@@ -442,6 +453,11 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
     coords i32[G, N, 3] (lattice units, stride==1 semantics handled by
     caller), valid [G, N], feats [G, N, C], w [G, K^3, Cin, Cout].
     Returns [G, N, Cout] f32.
+
+    w_groups > 0: scene-folded mode — the tables carry G = B * w_groups
+    groups (scenes folded into the class axis by core/scene_fold.py) but
+    w has only w_groups rows, shared across scenes; the weight-apply
+    einsums reshape instead of tiling the (large k^3) weights.
     """
     from .hashing import (INVALID_KEY, _LANE, _MARGIN, key_extents,
                           pack_coords)
@@ -467,7 +483,9 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
     cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R2)[:, None, None]
     cls_feat0 = (jnp.arange(G, dtype=jnp.int32) * N)[:, None, None]
     zd = base[..., 2] + _MARGIN               # [G, N]
-    wr = w.astype(compute_dtype).reshape(G, k, k, k, Cin, cout)
+    Gw = w_groups or G
+    assert G % Gw == 0 and w.shape[0] == Gw, (G, Gw, w.shape)
+    wr = w.astype(compute_dtype).reshape(Gw, k, k, k, Cin, cout)
     dz_list = list(range(-h, h + 1))
 
     def step(acc, dx):
@@ -511,9 +529,21 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
             g = take_rows(feats_flat, row.reshape(-1))
             g = jnp.where(hit[:, None], g, 0).reshape(G, k, N, Cin)
             # accumulate: per class and dy-group matmul on MXU
-            acc = acc + jnp.einsum(
-                "gdnc,gdco->gno", g, wslice[:, :, dzi],
-                preferred_element_type=jnp.float32)
+            if Gw != G:      # scene-folded: scenes share each class's w
+                # standard shared-batch dot shape: fold scenes into the
+                # row axis ([Gw, d, B*N, C]) — the bgdnc,gdco form lowers
+                # to an unsupported mixed-batch dot on the CPU backend
+                Bs = G // Gw
+                gb = jnp.swapaxes(g.reshape(Bs, Gw, k, N, Cin), 0, 1)
+                gb = jnp.swapaxes(gb, 1, 2).reshape(Gw, k, Bs * N, Cin)
+                ab = jnp.einsum("gdnc,gdco->gno", gb, wslice[:, :, dzi],
+                                preferred_element_type=jnp.float32)
+                ab = jnp.swapaxes(ab.reshape(Gw, Bs, N, cout), 0, 1)
+                acc = acc + ab.reshape(G, N, cout)
+            else:
+                acc = acc + jnp.einsum(
+                    "gdnc,gdco->gno", g, wslice[:, :, dzi],
+                    preferred_element_type=jnp.float32)
         return acc, None
 
     acc0 = jnp.zeros((G, N, cout), jnp.float32)
@@ -524,13 +554,15 @@ def scan_conv_grouped_classes(coords, valid, feats, stride: int,
 
 def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
                          tgt_coords, tgt_valid, offsets: np.ndarray, w,
-                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                         compute_dtype=jnp.bfloat16,
+                         w_groups: int = 0) -> jnp.ndarray:
     """Per-class conv at target coords with explicit offsets (covers the
     generative transposed conv of the head's expand path), class axis
     flattened out of every gather like scan_conv_grouped_classes.
 
     src_* [G, M, ...]; tgt_* [G, N, ...]; offsets raw-unit i32[K, 3]
-    (sign convention of the caller); w [G, K, Cin, Cout].
+    (sign convention of the caller); w [G, K, Cin, Cout]; w_groups as in
+    scan_conv_grouped_classes (scene-folded weight sharing).
     """
     from .hashing import INVALID_KEY, _LANE, pack_coords
 
@@ -550,6 +582,8 @@ def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
     cls_row0 = (jnp.arange(G, dtype=jnp.int32) * R2)[:, None]
     cls_feat0 = (jnp.arange(G, dtype=jnp.int32) * M)[:, None]
     offs = jnp.asarray(offsets, jnp.int32)
+    Gw = w_groups or G
+    assert G % Gw == 0 and w.shape[0] == Gw, (G, Gw, w.shape)
     wc = w.astype(compute_dtype)
 
     def step(acc, xs):
@@ -569,8 +603,16 @@ def scan_conv_at_classes(src_coords, src_valid, src_feats, src_stride: int,
         row = jnp.sum(jnp.where(eq, rows_v, 0), axis=1).reshape(G, N)
         g = take_rows(feats_flat, (row + cls_feat0).reshape(-1))
         g = jnp.where(hit[:, None], g, 0).reshape(G, N, Cin)
-        acc = acc + jnp.einsum("gnc,gco->gno", g, w_k,
-                               preferred_element_type=jnp.float32)
+        if Gw != G:          # scene-folded weight sharing
+            Bs = G // Gw
+            gb = jnp.swapaxes(g.reshape(Bs, Gw, N, Cin), 0, 1)
+            ab = jnp.einsum("gnc,gco->gno", gb.reshape(Gw, Bs * N, Cin),
+                            w_k, preferred_element_type=jnp.float32)
+            ab = jnp.swapaxes(ab.reshape(Gw, Bs, N, -1), 0, 1)
+            acc = acc + ab.reshape(G, N, -1)
+        else:
+            acc = acc + jnp.einsum("gnc,gco->gno", g, w_k,
+                                   preferred_element_type=jnp.float32)
         return acc, None
 
     acc0 = jnp.zeros((G, N, cout), jnp.float32)
@@ -643,7 +685,8 @@ def transposed_conv(src: SparseTensor, tgt_coords: jnp.ndarray,
 
 def generative_up_classes(src_coords, src_valid, src_feats, factor: int,
                           tgt_coords, tgt_valid, w,
-                          compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                          compute_dtype=jnp.bfloat16,
+                          w_groups: int = 0) -> jnp.ndarray:
     """Generative transposed conv with kernel_size == stride == factor:
     every target voxel has EXACTLY ONE (parent, kernel-offset) pair, so the
     K^3-offset scan of scan_conv_at_classes collapses to one parent lookup,
@@ -698,11 +741,21 @@ def generative_up_classes(src_coords, src_valid, src_feats, factor: int,
     fpar = take_rows(feats_flat, rowf.reshape(-1)).reshape(G, N, Cin)
     fpar = jnp.where(hit[..., None], fpar, 0)
 
+    Gw = w_groups or G
+    assert G % Gw == 0 and w.shape[0] == Gw, (G, Gw, w.shape)
     wc = w.astype(compute_dtype)
     acc = jnp.zeros((G, N, Cout), jnp.float32)
     for j in range(K3):
         sel = (j_idx == j) & hit
         fj = jnp.where(sel[..., None], fpar, 0)
-        acc = acc + jnp.einsum("gnc,gco->gno", fj, wc[:, j],
-                               preferred_element_type=jnp.float32)
+        if Gw != G:          # scene-folded weight sharing
+            Bs = G // Gw
+            fb = jnp.swapaxes(fj.reshape(Bs, Gw, N, Cin), 0, 1)
+            ab = jnp.einsum("gnc,gco->gno", fb.reshape(Gw, Bs * N, Cin),
+                            wc[:, j], preferred_element_type=jnp.float32)
+            ab = jnp.swapaxes(ab.reshape(Gw, Bs, N, Cout), 0, 1)
+            acc = acc + ab.reshape(G, N, Cout)
+        else:
+            acc = acc + jnp.einsum("gnc,gco->gno", fj, wc[:, j],
+                                   preferred_element_type=jnp.float32)
     return jnp.where(tgt_valid[..., None], acc, 0.0)

@@ -232,15 +232,20 @@ class CAGroup3DHead:
         # unique_voxels_classes output is key-sorted, which the MXU
         # kernel requires.
         def _cls_conv(st_cls, kernel_size, w):
+            # folded variants: under the detector's scene vmap the batch
+            # axis folds into the class-group axis (core/scene_fold.py)
+            # so gathers stay flat and the Pallas grid stays per-class
             if jax.default_backend() == "tpu" \
                     and self.loss_cfg.get("MXU_HEAD", True) \
                     and st_cls.coords.shape[1] >= 256:
-                from ...ops.pallas_conv import subm_conv_classes_mxu
-                return subm_conv_classes_mxu(
-                    st_cls.coords, st_cls.valid, st_cls.feats, w, kernel_size)
-            from ...core.sparse_conv import scan_conv_grouped_classes_t
-            return scan_conv_grouped_classes_t(
-                st_cls.coords, st_cls.valid, st_cls.feats, 1, kernel_size, w)
+                from ...core.scene_fold import folded_subm_mxu
+                return folded_subm_mxu(
+                    st_cls.coords, st_cls.valid, st_cls.feats, w,
+                    kernel_size)
+            from ...core.scene_fold import folded_grouped_classes_t
+            return folded_grouped_classes_t(
+                st_cls.coords, st_cls.valid, st_cls.feats, 1, kernel_size,
+                w)
 
         f_out = _cls_conv(fine, self.cls_kernel,
                           P[pre + ".cls_individual_out.0.kernel"])
@@ -259,15 +264,15 @@ class CAGroup3DHead:
         # kernel == stride each fine voxel has exactly one parent, so the
         # 27-offset scan collapses to one lookup + one-hot weights
         if self.expand == 3:
-            from ...core.sparse_conv import generative_up_classes_t
-            up_out = generative_up_classes_t(
+            from ...core.scene_fold import folded_generative_up_t
+            up_out = folded_generative_up_t(
                 coarse.coords * self.expand, coarse.valid, e_out,
                 self.expand, fine.coords, fine.valid,
                 P[pre + ".cls_individual_up.0.kernel"])
         else:
-            from ...core.sparse_conv import scan_conv_at_classes_t
+            from ...core.scene_fold import folded_at_classes_t
             k_up = transpose_offsets(3, 1)
-            up_out = scan_conv_at_classes_t(
+            up_out = folded_at_classes_t(
                 coarse.coords * self.expand, coarse.valid, e_out,
                 self.expand, fine.coords, fine.valid, k_up,
                 P[pre + ".cls_individual_up.0.kernel"], tgt_stride=1)

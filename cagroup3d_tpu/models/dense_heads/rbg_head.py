@@ -686,6 +686,10 @@ class RBGHead:
             score, sidx = bbs["sa_scores"][li]
 
             def one(sc, si, f):
+                # reference weighting (rbg_head.py:441-446): uniform
+                # ones/sum over the whole [B, Ni] tensor, i.e. a plain
+                # mean over B*Ni.  Ni is static per level here, so the
+                # per-scene mean + cross-scene mean below is identical.
                 t = jnp.take(f, si)
                 w = jnp.ones(t.shape, jnp.float32)
                 w = w / jnp.sum(w)

@@ -208,12 +208,19 @@ def _rank_bounds(qkeys, skeys, K):
 
 
 def _pallas_forward(coords, valid, feats, w, kernel_size: int,
-                    stride: int = 1, qlat=None, qvalid=None):
+                    stride: int = 1, qlat=None, qvalid=None,
+                    w_groups: int = 0):
     """qlat/qvalid: optional separate sorted query lattice (conv-at-
-    coords), in units of the SOURCE lattice // stride."""
+    coords), in units of the SOURCE lattice // stride.
+
+    w_groups > 0: scene-folded mode — tables carry G = B * w_groups
+    groups but w has only w_groups rows shared across scenes; the weight
+    BlockSpec indexes g % w_groups, so no weight tiling in HBM."""
     G, N, C = feats.shape
     K = kernel_size
     Cout = w.shape[-1]
+    Gw = w_groups or G
+    assert G % Gw == 0 and w.shape[0] == Gw, (G, Gw, w.shape)
 
     lat = jnp.floor_divide(coords, stride) if stride != 1 else coords
     skeys = pack_coords(lat, valid)                              # [G, N]
@@ -235,8 +242,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
     # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]; the whole dx
     # axis rides in the class block (dx is scanned inside the kernel)
     w2 = (w.astype(jnp.bfloat16)
-          .reshape(G, K, K, K, C, Cout)        # [G, dx, dy, dz, C, O]
-          .reshape(G, K, K, K * C, Cout))
+          .reshape(Gw, K, K, K, C, Cout)       # [Gw, dx, dy, dz, C, O]
+          .reshape(Gw, K, K, K * C, Cout))
 
     kern = functools.partial(_conv_kernel, K=K, C=C, Cout=Cout, N=N,
                              NQ=NQ, QW=QW, SLAB=SLAB)
@@ -256,7 +263,7 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
             pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, K, K * C, Cout),
-                         lambda g: (g, 0, 0, 0, 0),
+                         lambda g: (g % Gw, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NQ, Cout), lambda g: (g, 0, 0),
@@ -285,7 +292,7 @@ def mxu_conv_vmem_bytes(N, C, Cout, K):
 
 
 def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
-                          stride: int = 1):
+                          stride: int = 1, w_groups: int = 0):
     """(Per-class) submanifold K^3 conv, MXU-fused forward + XLA-vjp
     backward.
 
@@ -293,12 +300,15 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
     coords//stride with invalid rows last (unique_voxels* layout);
     valid [G, N]; feats [G, N, C]; w [G, K^3, Cin, Cout] in conv_offsets
     order (x-major, z-fastest).  Returns f32[G, N, Cout].
+
+    w_groups: scene-folded weight sharing (see _pallas_forward).
     """
     from ..core.sparse_conv import scan_conv_grouped_classes
 
     @jax.custom_vjp
     def f(coords, valid, feats, w):
-        return _pallas_forward(coords, valid, feats, w, kernel_size, stride)
+        return _pallas_forward(coords, valid, feats, w, kernel_size,
+                               stride, w_groups=w_groups)
 
     def fwd(coords, valid, feats, w):
         return f(coords, valid, feats, w), (coords, valid, feats, w)
@@ -310,11 +320,13 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
         coords, valid, feats, w = res
         g = jnp.where(valid[..., None], g, 0.0)
         dfe = scan_conv_grouped_classes(
-            coords, valid, g, stride, kernel_size, _w_rev_t(w)
+            coords, valid, g, stride, kernel_size, _w_rev_t(w),
+            w_groups=w_groups
         ).astype(feats.dtype)
         dwe = _dw_only(
             lambda we: scan_conv_grouped_classes(
-                coords, valid, feats, stride, kernel_size, we), w, g)
+                coords, valid, feats, stride, kernel_size, we,
+                w_groups=w_groups), w, g)
         zc = np.zeros(coords.shape, jax.dtypes.float0)
         zv = np.zeros(valid.shape, jax.dtypes.float0)
         return zc, zv, dfe, dwe

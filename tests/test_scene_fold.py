@@ -1,0 +1,211 @@
+"""Scene-axis folding (core/scene_fold.py): vmapping the folded grouped
+conv ops over scenes must be EXACT vs a per-scene python loop of the raw
+ops, for both forward values and gradients (grad-of-vmap), including the
+w_groups weight-sharing path that avoids tiling the k^3 weights."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cagroup3d_tpu.core import sparse_conv as sc
+from cagroup3d_tpu.core.scene_fold import (folded_at_classes_t,
+                                           folded_generative_up_t,
+                                           folded_grouped_classes_t)
+from cagroup3d_tpu.core.voxelize import unique_voxels_classes
+from cagroup3d_tpu.core.kernel_maps import transpose_offsets
+
+
+B, G, CAP, C = 3, 2, 256, 8
+
+
+def _tables(rng, seed_shift=0, cap=CAP, n_pts=180):
+    """Per-scene per-class sorted tables via unique_voxels_classes."""
+    coords, valids, feats = [], [], []
+    for b in range(B):
+        rs = np.random.RandomState(100 + b + seed_shift)
+        lat = rs.randint(0, 12, (G, n_pts, 3)).astype(np.int32)
+        f = rs.randn(G, n_pts, C).astype(np.float32)
+        v = rs.rand(G, n_pts) > 0.1
+        oc, of, ov = unique_voxels_classes(jnp.asarray(lat),
+                                           jnp.asarray(f),
+                                           jnp.asarray(v), cap)
+        coords.append(oc)
+        valids.append(ov)
+        feats.append(of)
+    return (jnp.stack(coords), jnp.stack(valids), jnp.stack(feats))
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return _tables(np.random)
+
+
+def test_folded_grouped_classes_forward_and_grad(tables):
+    coords, valid, feats = tables
+    w = jnp.asarray(np.random.RandomState(7).randn(G, 27, C, C)
+                    .astype(np.float32) * 0.1)
+
+    def folded_loss(feats, w):
+        out = jax.vmap(lambda c, v, f: folded_grouped_classes_t(
+            c, v, f, 1, 3, w))(coords, valid, feats)
+        return jnp.sum(out ** 2), out
+
+    (loss_f, out_f), grads_f = jax.value_and_grad(
+        folded_loss, argnums=(0, 1), has_aux=True)(feats, w)
+
+    def ref_loss(feats, w):
+        outs = [sc.scan_conv_grouped_classes_t(coords[b], valid[b],
+                                               feats[b], 1, 3, w)
+                for b in range(B)]
+        out = jnp.stack(outs)
+        return jnp.sum(out ** 2), out
+
+    (loss_r, out_r), grads_r = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)(feats, w)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(loss_f), float(loss_r), rtol=1e-5)
+    for gf, gr in zip(grads_f, grads_r):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        # both paths accumulate in bf16 with different summation orders;
+        # bound the dW noise relative to the gradient scale (the f32
+        # exactness of the fold itself is pinned below in
+        # test_w_groups_matches_tiled_f32)
+        np.testing.assert_allclose(gf, gr, rtol=1e-2,
+                                   atol=5e-3 * np.abs(gr).max())
+
+
+def test_folded_unbatched_matches_raw(tables):
+    coords, valid, feats = tables
+    w = jnp.asarray(np.random.RandomState(8).randn(G, 27, C, C)
+                    .astype(np.float32) * 0.1)
+    out_f = folded_grouped_classes_t(coords[0], valid[0], feats[0], 1, 3,
+                                     w)
+    out_r = sc.scan_conv_grouped_classes_t(coords[0], valid[0], feats[0],
+                                           1, 3, w)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_folded_generative_up(rng):
+    src_c, src_v, src_f = _tables(np.random, seed_shift=50, cap=128,
+                                  n_pts=90)
+    # fine targets: children of the coarse lattice (x3)
+    rs = np.random.RandomState(3)
+    tgt_c, tgt_v, _ = _tables(np.random, seed_shift=60, cap=256,
+                              n_pts=120)
+    w = jnp.asarray(rs.randn(G, 27, C, C).astype(np.float32) * 0.1)
+
+    def folded_loss(sf, w):
+        out = jax.vmap(lambda sc_, sv_, f_, tc_, tv_:
+                       folded_generative_up_t(sc_ * 3, sv_, f_, 3, tc_,
+                                              tv_, w))(
+            src_c, src_v, sf, tgt_c, tgt_v)
+        return jnp.sum(out ** 2)
+
+    gf_f, gw_f = jax.grad(folded_loss, argnums=(0, 1))(src_f, w)
+
+    def ref_loss(sf, w):
+        outs = [sc.generative_up_classes_t(src_c[b] * 3, src_v[b], sf[b],
+                                           3, tgt_c[b], tgt_v[b], w)
+                for b in range(B)]
+        return jnp.sum(jnp.stack(outs) ** 2)
+
+    gf_r, gw_r = jax.grad(ref_loss, argnums=(0, 1))(src_f, w)
+    np.testing.assert_allclose(
+        np.asarray(gf_f), np.asarray(gf_r), rtol=1e-2,
+        atol=5e-3 * float(np.abs(np.asarray(gf_r)).max() + 1e-6))
+    np.testing.assert_allclose(
+        np.asarray(gw_f), np.asarray(gw_r), rtol=1e-2,
+        atol=5e-3 * float(np.abs(np.asarray(gw_r)).max() + 1e-6))
+
+
+def test_folded_at_classes(rng):
+    src_c, src_v, src_f = _tables(np.random, seed_shift=70, cap=128,
+                                  n_pts=90)
+    tgt_c, tgt_v, _ = _tables(np.random, seed_shift=80, cap=256,
+                              n_pts=120)
+    offs = transpose_offsets(3, 1)
+    rs = np.random.RandomState(5)
+    w = jnp.asarray(rs.randn(G, offs.shape[0], C, C)
+                    .astype(np.float32) * 0.1)
+
+    def folded(sf):
+        out = jax.vmap(lambda a, b_, f_, c_, d_: folded_at_classes_t(
+            a * 3, b_, f_, 3, c_, d_, offs, w, tgt_stride=1))(
+            src_c, src_v, sf, tgt_c, tgt_v)
+        return jnp.sum(out ** 2)
+
+    def ref(sf):
+        outs = [sc.scan_conv_at_classes_t(src_c[b] * 3, src_v[b], sf[b],
+                                          3, tgt_c[b], tgt_v[b], offs, w,
+                                          tgt_stride=1)
+                for b in range(B)]
+        return jnp.sum(jnp.stack(outs) ** 2)
+
+    np.testing.assert_allclose(float(folded(src_f)), float(ref(src_f)),
+                               rtol=1e-5)
+    ga, gb = (np.asarray(jax.grad(folded)(src_f)),
+              np.asarray(jax.grad(ref)(src_f)))
+    np.testing.assert_allclose(ga, gb, rtol=1e-2,
+                               atol=5e-3 * (np.abs(gb).max() + 1e-6))
+
+
+def test_w_groups_matches_tiled_f32(tables):
+    """w_groups weight sharing == explicitly tiled weights, and the
+    folded dW == per-scene dW, EXACT in f32 compute (the bf16 default
+    differs only by summation order)."""
+    coords, valid, feats = tables
+    Gf = B * G
+    cf = coords.reshape(Gf, CAP, 3)
+    vf = valid.reshape(Gf, CAP)
+    ff = feats.reshape(Gf, CAP, C)
+    rs = np.random.RandomState(11)
+    w = jnp.asarray(rs.randn(G, 27, C, C).astype(np.float32) * 0.1)
+    out_shared = sc.scan_conv_grouped_classes(cf, vf, ff, 1, 3, w,
+                                              compute_dtype=jnp.float32,
+                                              w_groups=G)
+    out_tiled = sc.scan_conv_grouped_classes(cf, vf, ff, 1, 3,
+                                             jnp.tile(w, (B, 1, 1, 1)),
+                                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_shared),
+                               np.asarray(out_tiled), rtol=1e-5,
+                               atol=1e-5)
+
+    def folded(w):
+        return jnp.sum(sc.scan_conv_grouped_classes(
+            cf, vf, ff, 1, 3, w, compute_dtype=jnp.float32,
+            w_groups=G) ** 2)
+
+    def ref(w):
+        outs = [sc.scan_conv_grouped_classes(
+            coords[b], valid[b], feats[b], 1, 3, w,
+            compute_dtype=jnp.float32) for b in range(B)]
+        return jnp.sum(jnp.stack(outs) ** 2)
+
+    gf, gr = np.asarray(jax.grad(folded)(w)), np.asarray(jax.grad(ref)(w))
+    np.testing.assert_allclose(gf, gr, rtol=1e-4,
+                               atol=1e-5 * np.abs(gr).max())
+
+
+def test_head_train_path_uses_fold(rng):
+    """End-to-end: CAGroup3D forward_train (scene-vmapped head) is
+    finite and grads flow with the folded ops in place."""
+    from test_detector import synthetic_batch, tiny_cfg
+    from cagroup3d_tpu.models import build_network
+    cfg = tiny_cfg()
+    model = build_network(cfg, num_class=cfg.DENSE_HEAD.N_CLASSES)
+    P, S = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(np.random.RandomState(0), B=2)
+
+    def loss_fn(P):
+        loss, tb, upd = model.forward_train(P, S, batch,
+                                            jax.random.PRNGKey(1), 0.0)
+        return loss, tb
+
+    (loss, tb), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(P)
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
+    g = grads["dense_head.cls_individual_out.0.kernel"]
+    assert float(jnp.abs(g).sum()) > 0
