@@ -34,6 +34,12 @@ class Ctx:
         # into tb_dict / eval warnings by the detectors
         self.stats: Params = {}
         self._rng = rng
+        # scene-axis folding (core/scene_fold.py): when this ctx lives
+        # inside the detector's per-scene vmap (axis_name set), conv
+        # gathers fold the batch axis into flat tables.  custom_vmap
+        # does not support UNBATCHED reverse-mode AD, so the fold is
+        # gated on actually being vmapped.
+        self.scene_fold = axis_name is not None
 
     def next_rng(self) -> jax.Array:
         assert self._rng is not None, "Ctx needs an rng for stochastic ops"

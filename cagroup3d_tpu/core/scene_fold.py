@@ -107,6 +107,46 @@ def folded_subm_mxu(coords, valid, feats, w, kernel_size, stride=1):
 
 
 @lru_cache(maxsize=None)
+def _subm_single_mxu(kernel_size: int, stride: int):
+    from ..ops.pallas_conv import (subm_conv_classes_mxu,
+                                   subm_conv_mxu as raw_single)
+
+    @custom_vmap
+    def f(coords, valid, feats, w):
+        return raw_single(coords, valid, feats, w, kernel_size, stride)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, coords, valid, feats, w):
+        cb, vb, fb, wb = in_batched
+        B = axis_size
+
+        def b(x, batched):
+            return x if batched else jnp.broadcast_to(x[None],
+                                                      (B,) + x.shape)
+
+        # scenes become the group axis (G = B); shared weights ride
+        # w_groups=1, so the Pallas grid runs one scene-table per step
+        # and per-step VMEM no longer grows with the batch
+        out = subm_conv_classes_mxu(
+            b(coords, cb), b(valid, vb), b(feats, fb),
+            w if wb else w[None], kernel_size, stride,
+            w_groups=0 if wb else 1)
+        return out, True
+
+    return f
+
+
+def folded_subm_single_mxu(coords, valid, feats, w, kernel_size,
+                           stride=1):
+    """Single-table (backbone) MXU conv with scene-vmap folding: under
+    the per-scene vmap the batch folds into the class-group axis of
+    subm_conv_classes_mxu, keeping per-grid-step VMEM at one scene's
+    table (the round-2 blocker for MXU_TRAIN)."""
+    return _subm_single_mxu(int(kernel_size), int(stride))(
+        coords, valid, feats, w)
+
+
+@lru_cache(maxsize=None)
 def _generative_up_t(factor: int):
     from .sparse_conv import generative_up_classes_t as raw
 
@@ -173,3 +213,106 @@ def folded_at_classes_t(src_coords, src_valid, src_feats, src_stride,
     key = np.ascontiguousarray(np.asarray(offsets, np.int32)).tobytes()
     return _at_classes_t(int(src_stride), key, int(tgt_stride))(
         src_coords, src_valid, src_feats, tgt_coords, tgt_valid, w)
+
+
+# ---------------------------------------------------------------------
+# single-table gather-GEMM fold (the backbone path, layers.gather_gemm):
+# a batched [B, N_src] feature table with per-scene neighbor tables
+# [B, K, N] folds into one flat [B*N_src] table with row indices offset
+# by b*N_src — K batched gathers become K flat row gathers.
+# ---------------------------------------------------------------------
+def _offset_nbr(nbr, B, N_src, batched):
+    """[B, K, N] neighbor rows -> flat [K, B*N] rows into the folded
+    feature table (missing rows stay -1)."""
+    if not batched:
+        nbr = jnp.broadcast_to(nbr[None], (B,) + nbr.shape)
+    off = (jnp.arange(B, dtype=nbr.dtype) * N_src)[:, None, None]
+    nbr = jnp.where(nbr >= 0, nbr + off, -1)           # [B, K, N]
+    return jnp.swapaxes(nbr, 0, 1).reshape(nbr.shape[1], -1)
+
+
+def _unfold_rows(out, B):
+    return out.reshape((B, out.shape[0] // B) + out.shape[1:])
+
+
+@lru_cache(maxsize=None)
+def _gather_gemm_fold(with_bias: bool, with_tnbr: bool):
+    from .sparse_conv import gather_gemm, gather_gemm_t
+
+    def raw(feats, nbr, w, bias, tnbr):
+        if with_tnbr:
+            return gather_gemm_t(feats, nbr, tnbr, w, bias, jnp.bfloat16)
+        return _ck_gather_gemm(feats, nbr, w, bias)
+
+    if with_bias and with_tnbr:
+        @custom_vmap
+        def f(feats, nbr, w, bias, tnbr):
+            return raw(feats, nbr, w, bias, tnbr)
+    elif with_tnbr:
+        @custom_vmap
+        def f(feats, nbr, w, tnbr):
+            return raw(feats, nbr, w, None, tnbr)
+    elif with_bias:
+        @custom_vmap
+        def f(feats, nbr, w, bias):
+            return raw(feats, nbr, w, bias, None)
+    else:
+        @custom_vmap
+        def f(feats, nbr, w):
+            return raw(feats, nbr, w, None, None)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, feats, nbr, w, *rest):
+        fb, nb, wb = in_batched[0], in_batched[1], in_batched[2]
+        rest_b = in_batched[3:]
+        B = axis_size
+        bias = tnbr = None
+        bias_b = tnbr_b = False
+        if with_bias:
+            bias, bias_b = rest[0], rest_b[0]
+        if with_tnbr:
+            tnbr, tnbr_b = rest[-1], rest_b[-1]
+        if wb or (with_bias and bias_b):
+            # per-scene weights can't share one flat GEMM; fall back to
+            # an explicit map (not used by any current model)
+            args = (feats, nbr, w) + tuple(rest)
+            bt = (fb, nb, wb) + tuple(rest_b)
+            ex = tuple(a if b else jnp.broadcast_to(a[None],
+                                                    (B,) + a.shape)
+                       for a, b in zip(args, bt))
+            return jax.lax.map(lambda xs: raw(
+                xs[0], xs[1], xs[2],
+                xs[3] if with_bias else None,
+                xs[-1] if with_tnbr else None), ex), True
+        N_src = feats.shape[1] if fb else feats.shape[0]
+        N_out = nbr.shape[-1]
+        ff = _fold(feats, B, fb)
+        # nbr values index the SOURCE table (offset by b*N_src); tnbr
+        # values index the OUTPUT/cotangent rows (offset by b*N_out) —
+        # they differ for down/up/conv-at convs
+        nf = _offset_nbr(nbr, B, N_src, nb)
+        tf = _offset_nbr(tnbr, B, N_out, tnbr_b) if with_tnbr else None
+        out = raw(ff, nf, w, bias, tf)
+        return _unfold_rows(out, B), True
+
+    return f
+
+
+@jax.checkpoint
+def _ck_gather_gemm(feats, nbr, w, bias):
+    """Rematerialized like layers._gather_gemm_remat (the folded call
+    must not save per-offset gathered residuals either)."""
+    from .sparse_conv import gather_gemm
+    return gather_gemm(feats, nbr, w, bias, compute_dtype=jnp.bfloat16)
+
+
+def folded_gather_gemm(feats, nbr, w, bias=None, tnbr=None):
+    """layers.gather_gemm with scene-vmap folding (bf16 gathers, f32
+    accumulation, remat / scatter-free VJP semantics preserved)."""
+    if tnbr is not None and bias is not None:
+        return _gather_gemm_fold(True, True)(feats, nbr, w, bias, tnbr)
+    if tnbr is not None:
+        return _gather_gemm_fold(False, True)(feats, nbr, w, tnbr)
+    if bias is not None:
+        return _gather_gemm_fold(True, False)(feats, nbr, w, bias)
+    return _gather_gemm_fold(False, False)(feats, nbr, w)

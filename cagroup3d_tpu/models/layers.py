@@ -39,7 +39,7 @@ def _gather_gemm_remat_nobias(feats, nbr, w):
     return _gather_gemm(feats, nbr, w, None, compute_dtype=jnp.bfloat16)
 
 
-def gather_gemm(feats, nbr, w, bias=None, tnbr=None):
+def gather_gemm(feats, nbr, w, bias=None, tnbr=None, fold=False):
     """Backbone conv gathers run in bf16 (f32 accumulation) and are
     REMATERIALIZED: without jax.checkpoint the scan saves every gathered
     [N, Cin] step as a residual (~gigabytes across the backbone), which
@@ -47,7 +47,17 @@ def gather_gemm(feats, nbr, w, bias=None, tnbr=None):
 
     With a transpose table ``tnbr`` the scatter-free custom VJP is used
     (core/sparse_conv.gather_gemm_t) — the backward is two gather-GEMMs
-    instead of K scatter-adds, which are pathological on TPU."""
+    instead of K scatter-adds, which are pathological on TPU.
+
+    With ``fold=True`` (ctx.scene_fold — set when the ctx lives inside
+    the detector's per-scene vmap) the batched feature table +
+    per-scene neighbor tables collapse into one flat table with offset
+    rows (core/scene_fold.folded_gather_gemm), so the K per-offset
+    gathers stay flat row gathers.  Unbatched reverse-mode AD requires
+    fold=False (custom_vmap limitation)."""
+    if fold:
+        from ..core.scene_fold import folded_gather_gemm
+        return folded_gather_gemm(feats, nbr, w, bias=bias, tnbr=tnbr)
     if tnbr is not None:
         return _gather_gemm_t(feats, nbr, tnbr, w, bias, jnp.bfloat16)
     if bias is None:
@@ -121,8 +131,11 @@ _MXU_VMEM_BUDGET_EVAL = 52 * 1024 * 1024
 def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
     import jax
     from ..ops.pallas_conv import mxu_conv_vmem_bytes
-    budget = _MXU_VMEM_BUDGET_TRAIN if ctx.train else \
-        _MXU_VMEM_BUDGET_EVAL
+    # scene_fold: the batch folds into the Pallas grid axis, so per-step
+    # VMEM stays one table regardless of batch — eval budget applies
+    budget = _MXU_VMEM_BUDGET_EVAL \
+        if (not ctx.train or getattr(ctx, "scene_fold", False)) \
+        else _MXU_VMEM_BUDGET_TRAIN
     return (jax.default_backend() == "tpu"
             and (not ctx.train or getattr(ctx, "mxu_train", False))
             and k % 2 == 1
@@ -142,10 +155,18 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
     w = params[path + ".kernel"]
     if _use_mxu(st, ctx, k, w.shape[-1]):
         # MXU-fused one-hot slab kernel (ops/pallas_conv.py); the
-        # coordinate sets come from unique_voxels and are key-sorted
-        from ..ops.pallas_conv import subm_conv_mxu
-        f = subm_conv_mxu(st.coords, st.valid, st.masked_feats(), w, k,
-                          st.stride)
+        # coordinate sets come from unique_voxels and are key-sorted.
+        # Scene-folded under the detector's vmap: batch folds into the
+        # kernel's group/grid axis (per-step VMEM stays one table).
+        if getattr(ctx, "scene_fold", False):
+            from ..core.scene_fold import folded_subm_single_mxu
+            f = folded_subm_single_mxu(st.coords, st.valid,
+                                       st.masked_feats(), w, k,
+                                       st.stride)
+        else:
+            from ..ops.pallas_conv import subm_conv_mxu
+            f = subm_conv_mxu(st.coords, st.valid, st.masked_feats(), w,
+                              k, st.stride)
         b = params.get(path + ".bias")
         if b is not None:
             f = f + b
@@ -155,7 +176,8 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
     # lexicographic stencil enumeration satisfies off[i] = -off[K-1-i])
     tnbr = nbr[::-1] if ctx.train else None
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"), tnbr=tnbr)
+                    params.get(path + ".bias"), tnbr=tnbr,
+                    fold=getattr(ctx, "scene_fold", False))
     return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
 
 
@@ -169,7 +191,8 @@ def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
         nbr = _nbr(ctx, st, out.coords, out.valid, offs)
     tnbr = _tnbr(ctx, st, out, offs) if ctx.train else None
     f = gather_gemm(st.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"), tnbr=tnbr)
+                    params.get(path + ".bias"), tnbr=tnbr,
+                    fold=getattr(ctx, "scene_fold", False))
     return SparseTensor(out.coords, jnp.where(out.valid[:, None], f, 0.0),
                         out.valid, out.stride)
 
@@ -190,7 +213,8 @@ def conv_at(params: Params, ctx: Ctx, path: str, src: SparseTensor,
                               tgt_valid, os)
         tnbr = _tnbr(ctx, src, tgt_st, offs)
     f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"), tnbr=tnbr)
+                    params.get(path + ".bias"), tnbr=tnbr,
+                    fold=getattr(ctx, "scene_fold", False))
     return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),
                         tgt_valid, os)
 
@@ -208,7 +232,8 @@ def up(params: Params, ctx: Ctx, path: str, src: SparseTensor, tgt_coords,
                               tgt_valid, out_stride)
         tnbr = _tnbr(ctx, src, tgt_st, offs)
     f = gather_gemm(src.masked_feats(), nbr, params[path + ".kernel"],
-                    params.get(path + ".bias"), tnbr=tnbr)
+                    params.get(path + ".bias"), tnbr=tnbr,
+                    fold=getattr(ctx, "scene_fold", False))
     return SparseTensor(tgt_coords, jnp.where(tgt_valid[:, None], f, 0.0),
                         tgt_valid, out_stride)
 

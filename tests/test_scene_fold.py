@@ -209,3 +209,101 @@ def test_head_train_path_uses_fold(rng):
     assert np.isfinite(float(loss)), {k: float(v) for k, v in tb.items()}
     g = grads["dense_head.cls_individual_out.0.kernel"]
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_folded_gather_gemm_matches_vmap(rng):
+    """Backbone path: folded gather-GEMM under vmap == raw per-scene,
+    forward and grad-of-vmap, with and without the transpose table."""
+    from cagroup3d_tpu.core.scene_fold import folded_gather_gemm
+    from cagroup3d_tpu.core import sparse_conv as scv
+    rs = np.random.RandomState(0)
+    Bn, N, K, Cin, Co = 3, 96, 5, 8, 8
+    feats = jnp.asarray(rs.randn(Bn, N, Cin).astype(np.float32))
+    nbr = jnp.asarray(rs.randint(-1, N, (Bn, K, N)).astype(np.int32))
+    w = jnp.asarray(rs.randn(K, Cin, Co).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rs.randn(Co).astype(np.float32))
+
+    def folded(feats, w):
+        out = jax.vmap(lambda f, n: folded_gather_gemm(f, n, w, bias))(
+            feats, nbr)
+        return jnp.sum(out ** 2)
+
+    def ref(feats, w):
+        outs = [scv.gather_gemm(feats[b], nbr[b], w, bias,
+                                compute_dtype=jnp.bfloat16)
+                for b in range(Bn)]
+        return jnp.sum(jnp.stack(outs) ** 2)
+
+    np.testing.assert_allclose(float(folded(feats, w)),
+                               float(ref(feats, w)), rtol=1e-4)
+    gf = jax.grad(folded, argnums=(0, 1))(feats, w)
+    gr = jax.grad(ref, argnums=(0, 1))(feats, w)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-2,
+                                   atol=5e-3 * (np.abs(b).max() + 1e-6))
+
+    # tnbr (scatter-free VJP) path: submanifold reversed table
+    tnbr = nbr[:, ::-1]
+
+    def folded_t(feats, w):
+        out = jax.vmap(lambda f, n, t: folded_gather_gemm(
+            f, n, w, tnbr=t))(feats, nbr, tnbr)
+        return jnp.sum(out ** 2)
+
+    def ref_t(feats, w):
+        outs = [scv.gather_gemm_t(feats[b], nbr[b], tnbr[b], w, None,
+                                  jnp.bfloat16) for b in range(Bn)]
+        return jnp.sum(jnp.stack(outs) ** 2)
+
+    np.testing.assert_allclose(float(folded_t(feats, w)),
+                               float(ref_t(feats, w)), rtol=1e-4)
+    gf = jax.grad(folded_t, argnums=(0, 1))(feats, w)
+    gr = jax.grad(ref_t, argnums=(0, 1))(feats, w)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-2,
+                                   atol=5e-3 * (np.abs(b).max() + 1e-6))
+
+
+def test_backbone_fold_gated_on_ctx():
+    """Ctx(axis_name=None) keeps the raw path: unbatched reverse-mode AD
+    through the backbone still works (test_biresnet contract)."""
+    from cagroup3d_tpu.core.module import Ctx
+    assert Ctx(train=True).scene_fold is False
+    assert Ctx(train=True, axis_name="scene").scene_fold is True
+
+
+def test_folded_gather_gemm_downconv_shapes(rng):
+    """tnbr offsets use the OUTPUT row count: down-conv shaped tables
+    (N_out != N_src) — the case that NaN'd the backbone stem grads."""
+    from cagroup3d_tpu.core.scene_fold import folded_gather_gemm
+    from cagroup3d_tpu.core import sparse_conv as scv
+    rs = np.random.RandomState(1)
+    Bn, N_src, N_out, K, Cin, Co = 3, 128, 48, 5, 8, 8
+    feats = jnp.asarray(rs.randn(Bn, N_src, Cin).astype(np.float32))
+    nbr = jnp.asarray(rs.randint(-1, N_src,
+                                 (Bn, K, N_out)).astype(np.int32))
+    tnbr = jnp.asarray(rs.randint(-1, N_out,
+                                  (Bn, K, N_src)).astype(np.int32))
+    w = jnp.asarray(rs.randn(K, Cin, Co).astype(np.float32) * 0.1)
+
+    def folded(feats, w):
+        out = jax.vmap(lambda f, n, t: folded_gather_gemm(
+            f, n, w, tnbr=t))(feats, nbr, tnbr)
+        return jnp.sum(out ** 2)
+
+    def ref(feats, w):
+        outs = [scv.gather_gemm_t(feats[b], nbr[b], tnbr[b], w, None,
+                                  jnp.bfloat16) for b in range(Bn)]
+        return jnp.sum(jnp.stack(outs) ** 2)
+
+    np.testing.assert_allclose(float(folded(feats, w)),
+                               float(ref(feats, w)), rtol=1e-4)
+    gf = jax.grad(folded, argnums=(0, 1))(feats, w)
+    gr = jax.grad(ref, argnums=(0, 1))(feats, w)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, rtol=1e-2,
+                                   atol=5e-3 * (np.abs(b).max() + 1e-6))
