@@ -136,6 +136,69 @@ def _subm_single_mxu(kernel_size: int, stride: int):
     return f
 
 
+@lru_cache(maxsize=None)
+def _paired_maps(cap_fine: int, cap_coarse: int, factor: int,
+                 with_drop: bool):
+    from .voxelize import unique_voxels_classes_paired as raw
+
+    if with_drop:
+        @custom_vmap
+        def f(lat, feats, sel, drop):
+            return raw(lat, feats, sel, cap_fine, cap_coarse, factor,
+                       drop_offset=drop, return_stats=True)
+    else:
+        @custom_vmap
+        def f(lat, feats, sel):
+            return raw(lat, feats, sel, cap_fine, cap_coarse, factor,
+                       return_stats=True)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, lat, feats, sel, *rest):
+        lb, fb, sb = in_batched[0], in_batched[1], in_batched[2]
+        B = axis_size
+        if not fb:
+            feats = jnp.broadcast_to(feats[None], (B,) + feats.shape)
+        G = lat.shape[1] if lb else lat.shape[0]
+        drop = None
+        if with_drop:
+            drop = rest[0]
+            db = in_batched[3]
+            if not db:
+                drop = jnp.broadcast_to(drop[None], (B,) + drop.shape)
+            # per-scene scalar -> per-group vector over B*G tables
+            drop = jnp.repeat(drop.reshape(B), G)
+        fine, coarse, (of_f, of_c) = raw(
+            _fold(lat, B, lb),
+            feats.reshape((B * feats.shape[1],) + feats.shape[2:]),
+            _fold(sel, B, sb), cap_fine, cap_coarse, factor,
+            drop_offset=drop, feats_groups=B, return_stats=True)
+
+        def unf(x):
+            return x.reshape((B, G) + x.shape[1:])
+
+        out = (tuple(unf(x) for x in fine),
+               tuple(unf(x) for x in coarse),
+               (of_f.reshape(B, G), of_c.reshape(B, G)))
+        batched = ((True,) * 3, (True,) * 3, (True, True))
+        return out, batched
+
+    return f
+
+
+def folded_paired_maps(lat, feats, sel, cap_fine, cap_coarse, factor,
+                       drop_offset=None):
+    """unique_voxels_classes_paired with scene-vmap folding: the head's
+    fine+expand map build runs over B*n_cls flat tables with one sort.
+    Returns (fine triple, coarse triple, (of_fine [G], of_coarse [G]))
+    — per-group overflow counts instead of the stats-dict side channel
+    (dicts can't cross the custom_vmap boundary)."""
+    if drop_offset is not None:
+        return _paired_maps(int(cap_fine), int(cap_coarse), int(factor),
+                            True)(lat, feats, sel, drop_offset)
+    return _paired_maps(int(cap_fine), int(cap_coarse), int(factor),
+                        False)(lat, feats, sel)
+
+
 def folded_subm_single_mxu(coords, valid, feats, w, kernel_size,
                            stride=1):
     """Single-table (backbone) MXU conv with scene-vmap folding: under

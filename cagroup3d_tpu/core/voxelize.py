@@ -276,9 +276,10 @@ def _window_ranks(n_unique, cap: int, drop_offset):
     n = jnp.asarray(n_unique, jnp.int32).reshape(-1, 1)
     if drop_offset is None:
         return jnp.broadcast_to(s, (n.shape[0], cap))
-    o = jnp.where(n > cap,
-                  jnp.asarray(drop_offset, jnp.int32) %
-                  jnp.maximum(n, 1), 0)
+    do = jnp.asarray(drop_offset, jnp.int32)
+    if do.ndim:                     # per-group offsets (scene-folded)
+        do = do.reshape(-1, 1)
+    o = jnp.where(n > cap, do % jnp.maximum(n, 1), 0)
     # no overflow -> identity window (wrap MUST be 0, else ranks
     # [0, cap-n) would be emitted twice: once at slot s and again at
     # slot s + cap - n)
@@ -289,7 +290,9 @@ def _window_ranks(n_unique, cap: int, drop_offset):
 def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
                                  valid: jnp.ndarray, cap_fine: int,
                                  cap_coarse: int, coarse_factor: int,
-                                 stats: dict = None, drop_offset=None):
+                                 stats: dict = None, drop_offset=None,
+                                 feats_groups: int = 0,
+                                 return_stats: bool = False):
     """Build the fine map AND its ``coarse_factor``-times-coarser map with
     one FULL-SIZE sort (the dense head's per-class fine + expand
     re-voxelizations, cagroup_head.py:257-271).
@@ -308,6 +311,15 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     lat i32[G, P, 3] FINE lattice coords; feats [P, F] (shared across
     classes); valid [G, P] per-class selection.
     Returns ((coords, feats, valid) fine, (coords, feats, valid) coarse).
+
+    feats_groups > 0 (scene-folded, core/scene_fold.py): feats is
+    [feats_groups * P, F] — G = B * n_cls tables where consecutive
+    n_cls groups share scene b's feature block (row offset b * P).
+    drop_offset may be a per-group i32[G] vector in that mode.
+    return_stats: additionally return per-group overflow counts
+    (of_fine i32[G], of_coarse i32[G]) as a third element instead of
+    (only) mutating ``stats`` — the scene-fold custom_vmap boundary
+    cannot carry dict side-channels.
     """
     import jax
 
@@ -330,7 +342,13 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
          (jax.lax.shift_right_logical(sk, sy) & (ey - 1)),
          sk & (ez - 1)], axis=-1) - _MARGIN               # [G, P, 3]
     from .gather import take_rows
-    feats_s = take_rows(feats.astype(jnp.bfloat16), order.reshape(-1))
+    order_rows = order
+    if feats_groups:
+        # folded scenes: group g gathers from scene (g*feats_groups//G)'s
+        # feature block
+        blk = (jnp.arange(G, dtype=jnp.int32) * feats_groups) // G
+        order_rows = order + (blk * P)[:, None]
+    feats_s = take_rows(feats.astype(jnp.bfloat16), order_rows.reshape(-1))
     # [G*P, F] bf16 (batched gather formulation; core/gather.py)
 
     # ---- fine map ----
@@ -338,10 +356,10 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
         [jnp.ones((G, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1)
     ok = sk != INVALID_KEY
     uid = jnp.cumsum((head & ok).astype(jnp.int32), axis=1) - 1
+    n_unique_f = jnp.sum((head & ok).astype(jnp.int32), axis=1)
+    of_fine = jnp.maximum(n_unique_f - cap_fine, 0)        # [G]
     if stats is not None:
-        n_unique = jnp.sum((head & ok).astype(jnp.int32), axis=1)
-        stats["overflow/head_fine"] = jnp.sum(
-            jnp.maximum(n_unique - cap_fine, 0))
+        stats["overflow/head_fine"] = jnp.sum(of_fine)
     # per-voxel row ranges by RANK COUNTING on the (non-decreasing) uid
     # sequence instead of head/tail scatters: three 1.2M-row scatters
     # become two 74k-row block gathers (scatter/gather cost on TPU is
@@ -405,10 +423,10 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     ok2 = sk_c != INVALID_KEY
     uid2 = jnp.cumsum((head2 & ok2).astype(jnp.int32), axis=1) - 1
     keep2 = ok2 & (uid2 < cap_coarse)
+    n_unique2 = jnp.sum((head2 & ok2).astype(jnp.int32), axis=1)
+    of_coarse = jnp.maximum(n_unique2 - cap_coarse, 0)     # [G]
     if stats is not None:
-        n_unique2 = jnp.sum((head2 & ok2).astype(jnp.int32), axis=1)
-        stats["overflow/head_expand"] = jnp.sum(
-            jnp.maximum(n_unique2 - cap_coarse, 0))
+        stats["overflow/head_expand"] = jnp.sum(of_coarse)
     cls2 = (jnp.arange(G, dtype=jnp.int32) * (cap_coarse + 1))[:, None]
     slot2 = jnp.where(head2 & keep2, uid2, cap_coarse) + cls2
     c_coords = (jnp.full((G * (cap_coarse + 1), 3), PAD_COORD, jnp.int32)
@@ -426,6 +444,9 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     c_feats = jnp.where(
         c_valid[..., None],
         c_sum / jnp.maximum(c_cnt, 1)[..., None], 0.0)
+    if return_stats:
+        return ((f_coords, f_feats, f_valid),
+                (c_coords, c_feats, c_valid), (of_fine, of_coarse))
     return (f_coords, f_feats, f_valid), (c_coords, c_feats, c_valid)
 
 

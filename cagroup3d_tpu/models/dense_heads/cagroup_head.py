@@ -212,15 +212,17 @@ class CAGroup3DHead:
 
         # class-batched re-voxelization: BOTH maps from one sort (the
         # coarse lattice is fine_lat // expand and packed-key order is
-        # monotone under that division, core/voxelize.py)
-        from ...core.voxelize import unique_voxels_classes_paired
+        # monotone under that division, core/voxelize.py); scene-folded
+        # under the detector's vmap (core/scene_fold.folded_paired_maps)
+        from ...core.scene_fold import folded_paired_maps
         sel_t = jnp.swapaxes(sel_all, 0, 1)                  # [n_cls, 2N]
         lat_f = jnp.floor(pts_all[None] /
                           vox_sizes[:, None, :]).astype(jnp.int32)
-        (fc, ff, fv), (cc, cf, cv) = unique_voxels_classes_paired(
+        (fc, ff, fv), (cc, cf, cv), (of_f, of_c) = folded_paired_maps(
             lat_f, feats_all, sel_t, self.fine_cap, self.expand_cap,
-            self.expand, stats=ctx.stats,
-            drop_offset=getattr(ctx, "drop_offset", None))
+            self.expand, drop_offset=getattr(ctx, "drop_offset", None))
+        ctx.stats["overflow/head_fine"] = jnp.sum(of_f)
+        ctx.stats["overflow/head_expand"] = jnp.sum(of_c)
         fine = SparseTensor(fc, ff, fv, 1)
         coarse = SparseTensor(cc, cf, cv, 1)
         # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice

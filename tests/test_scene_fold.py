@@ -307,3 +307,66 @@ def test_folded_gather_gemm_downconv_shapes(rng):
         assert np.isfinite(a).all()
         np.testing.assert_allclose(a, b, rtol=1e-2,
                                    atol=5e-3 * (np.abs(b).max() + 1e-6))
+
+
+def test_folded_paired_maps_matches_vmap(rng):
+    """Head map build: folded fine+expand re-voxelization under vmap ==
+    per-scene raw op (coords/feats/valid and overflow counts), with and
+    without drop_offset, including feature gradients."""
+    from cagroup3d_tpu.core.scene_fold import folded_paired_maps
+    from cagroup3d_tpu.core.voxelize import unique_voxels_classes_paired
+    rs = np.random.RandomState(2)
+    Bn, Gc, P, F = 2, 3, 256, 4
+    capf, capc, factor = 128, 64, 3
+    lat = jnp.asarray(rs.randint(0, 20, (Bn, Gc, P, 3)).astype(np.int32))
+    feats = jnp.asarray(rs.randn(Bn, P, F).astype(np.float32))
+    sel = jnp.asarray(rs.rand(Bn, Gc, P) > 0.3)
+    drop = jnp.asarray(rs.randint(0, 1 << 20, (Bn,)).astype(np.int32))
+
+    def folded(feats):
+        return jax.vmap(lambda l, f, s, d: folded_paired_maps(
+            l, f, s, capf, capc, factor, drop_offset=d))(
+            lat, feats, sel, drop)
+
+    fine, coarse, (of_f, of_c) = folded(feats)
+    for b in range(Bn):
+        rf, rc, (rof, roc) = unique_voxels_classes_paired(
+            lat[b], feats[b], sel[b], capf, capc, factor,
+            drop_offset=drop[b], return_stats=True)
+        for got, ref in zip(fine, rf):
+            np.testing.assert_allclose(np.asarray(got[b]),
+                                       np.asarray(ref), atol=2e-2)
+        for got, ref in zip(coarse, rc):
+            np.testing.assert_allclose(np.asarray(got[b]),
+                                       np.asarray(ref), atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(of_f[b]),
+                                      np.asarray(rof))
+        np.testing.assert_array_equal(np.asarray(of_c[b]),
+                                      np.asarray(roc))
+
+    # gradient flows into per-scene feature blocks identically
+    def loss_folded(feats):
+        fine, coarse, _ = folded(feats)
+        return jnp.sum(fine[1] ** 2) + jnp.sum(coarse[1] ** 2)
+
+    def loss_ref(feats):
+        tot = 0.0
+        for b in range(Bn):
+            rf, rc = unique_voxels_classes_paired(
+                lat[b], feats[b], sel[b], capf, capc, factor,
+                drop_offset=drop[b])
+            tot = tot + jnp.sum(rf[1] ** 2) + jnp.sum(rc[1] ** 2)
+        return tot
+
+    gf = np.asarray(jax.grad(loss_folded)(feats))
+    gr = np.asarray(jax.grad(loss_ref)(feats))
+    np.testing.assert_allclose(gf, gr, rtol=1e-2,
+                               atol=5e-3 * (np.abs(gr).max() + 1e-6))
+
+    # no-drop (eval) variant
+    fine2, coarse2, _ = jax.vmap(lambda l, f, s: folded_paired_maps(
+        l, f, s, capf, capc, factor))(lat, feats, sel)
+    rf2, rc2 = unique_voxels_classes_paired(
+        lat[0], feats[0], sel[0], capf, capc, factor)
+    np.testing.assert_allclose(np.asarray(fine2[1][0]),
+                               np.asarray(rf2[1]), atol=2e-2)
