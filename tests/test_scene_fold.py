@@ -370,3 +370,44 @@ def test_folded_paired_maps_matches_vmap(rng):
         lat[0], feats[0], sel[0], capf, capc, factor)
     np.testing.assert_allclose(np.asarray(fine2[1][0]),
                                np.asarray(rf2[1]), atol=2e-2)
+
+
+def test_folded_pallas_w_groups_interpret(tables):
+    """Pallas kernel with w_groups (folded scenes share per-class
+    weights via the g % Gw BlockSpec) == raw per-scene kernel, interpret
+    mode.  Covers folded_subm_mxu and the single-table fold."""
+    from cagroup3d_tpu.core.scene_fold import (folded_subm_mxu,
+                                               folded_subm_single_mxu)
+    from cagroup3d_tpu.ops.pallas_conv import (subm_conv_classes_mxu,
+                                               subm_conv_mxu)
+    coords, valid, feats = tables
+    rs = np.random.RandomState(21)
+    w = jnp.asarray(rs.randn(G, 27, C, C).astype(np.float32) * 0.1)
+
+    out_f = jax.vmap(lambda c, v, f: folded_subm_mxu(c, v, f, w, 3))(
+        coords, valid, feats)
+    for b in range(B):
+        ref = subm_conv_classes_mxu(coords[b], valid[b], feats[b], w, 3)
+        np.testing.assert_allclose(np.asarray(out_f[b]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    # single-table (backbone) fold: scenes become the group axis
+    w1 = jnp.asarray(rs.randn(27, C, C).astype(np.float32) * 0.1)
+    c1, v1, f1 = coords[:, 0], valid[:, 0], feats[:, 0]   # [B, CAP, ...]
+    out_s = jax.vmap(lambda c, v, f: folded_subm_single_mxu(
+        c, v, f, w1, 3))(c1, v1, f1)
+    for b in range(B):
+        ref = subm_conv_mxu(c1[b], v1[b], f1[b], w1, 3, 1)
+        np.testing.assert_allclose(np.asarray(out_s[b]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    # grad-of-vmap through the folded Pallas op (bwd = folded XLA path)
+    def loss(feats, w):
+        out = jax.vmap(lambda c, v, f: folded_subm_mxu(c, v, f, w, 3))(
+            coords, valid, feats)
+        return jnp.sum(out ** 2)
+
+    gf, gw = jax.grad(loss, argnums=(0, 1))(feats, w)
+    assert np.isfinite(np.asarray(gf)).all()
+    assert np.isfinite(np.asarray(gw)).all()
+    assert float(jnp.abs(gw).sum()) > 0
