@@ -30,8 +30,14 @@ Requirements: coordinates sorted by packed key (per class) with invalid
 rows at the end (what ``core.voxelize.unique_voxels`` family produces),
 N % 128 == 0, N >= SLAB.
 
-Backward pass: exactness of the forward lets us take the VJP of the XLA
-reference implementation (same math, different algorithm).
+Backward pass (also MXU-fused, ``CAGROUP_XLA_BWD=1`` opts out):
+dfeats is the SAME submanifold conv with offset-reversed transposed
+weights (one more ``_pallas_forward``), and dW re-runs the slab walk
+with the weight-apply matmul transposed (``_dw_kernel``:
+dW[dx, dy] += tile[QW, K*C]^T @ gout[QW, Cout]) — both gradients stay
+one-hot matmuls in VMEM, no scatters.  Exactness of the forward also
+lets the XLA fallback take the VJP of the reference implementation
+(same math, different algorithm).
 """
 from __future__ import annotations
 
@@ -53,6 +59,12 @@ _LANE = 128
 # compares/stores, ~7% rel err) — keep 128 until the toolchain moves.
 _QW = 128
 _SLAB_FOR = {128: 192, 256: 320}
+
+
+def _mxu_bwd_enabled():
+    """Backward stays on the MXU kernels unless CAGROUP_XLA_BWD=1."""
+    import os
+    return os.environ.get("CAGROUP_XLA_BWD") != "1"
 
 
 def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
@@ -303,21 +315,12 @@ def _rank_bounds(qkeys, skeys, K):
     return lo.reshape(G, K, K, NB), hi.reshape(G, K, K, NB)
 
 
-def _pallas_forward(coords, valid, feats, w, kernel_size: int,
-                    stride: int = 1, qlat=None, qvalid=None,
-                    w_groups: int = 0):
-    """qlat/qvalid: optional separate sorted query lattice (conv-at-
-    coords), in units of the SOURCE lattice // stride.
-
-    w_groups > 0: scene-folded mode — tables carry G = B * w_groups
-    groups but w has only w_groups rows shared across scenes; the weight
-    BlockSpec indexes g % w_groups, so no weight tiling in HBM."""
+def _prep_tables(coords, valid, feats, kernel_size, stride, qlat, qvalid):
+    """Shared forward/backward prep: packed sorted keys, rank windows,
+    bf16 feature table.  Returns (lo, hi, keys_col, keys_row, featsb,
+    (K, C, N, NQ, QW, SLAB, NB))."""
     G, N, C = feats.shape
     K = kernel_size
-    Cout = w.shape[-1]
-    Gw = w_groups or G
-    assert G % Gw == 0 and w.shape[0] == Gw, (G, Gw, w.shape)
-
     lat = jnp.floor_divide(coords, stride) if stride != 1 else coords
     skeys = pack_coords(lat, valid)                              # [G, N]
     qkeys = skeys if qlat is None else pack_coords(qlat, qvalid)
@@ -335,6 +338,27 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
     keys_col = skeys.reshape(G, N, 1)
     keys_row = qkeys.reshape(G, NB, QW)
     featsb = jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16)
+    return lo, hi, keys_col, keys_row, featsb, (K, C, N, NQ, QW, SLAB, NB)
+
+
+def _pallas_forward(coords, valid, feats, w, kernel_size: int,
+                    stride: int = 1, qlat=None, qvalid=None,
+                    w_groups: int = 0):
+    """qlat/qvalid: optional separate sorted query lattice (conv-at-
+    coords), in units of the SOURCE lattice // stride.
+
+    w_groups > 0: scene-folded mode — tables carry G = B * w_groups
+    groups but w has only w_groups rows shared across scenes; the weight
+    BlockSpec indexes g % w_groups, so no weight tiling in HBM."""
+    G = feats.shape[0]
+    K = kernel_size
+    Cout = w.shape[-1]
+    Gw = w_groups or G
+    assert G % Gw == 0 and w.shape[0] == Gw, (G, Gw, w.shape)
+
+    lo, hi, keys_col, keys_row, featsb, \
+        (K, C, N, NQ, QW, SLAB, NB) = _prep_tables(
+            coords, valid, feats, kernel_size, stride, qlat, qvalid)
     # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]; the whole dx
     # axis rides in the class block (dx is scanned inside the kernel)
     w2 = (w.astype(jnp.bfloat16)
@@ -391,6 +415,149 @@ def mxu_conv_vmem_bytes(N, C, Cout, K):
             + N * 8 + _LANE * 8 * 4)
 
 
+def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
+               gout_ref, dw_ref, tk_scr, ztk_scr, *, K, C, Cout, N, NQ,
+               QW, SLAB):
+    """Weight-gradient twin of ``_conv_kernel``: the same rank-window
+    slab walk re-gathers each query block's [QW, K*C] neighbor tile, and
+    the weight-apply matmul of the forward becomes its transpose —
+    dW[dx, dy] += tile^T @ gout_block, one [K*C, QW] x [QW, Cout] MXU
+    contraction per block.  No weight input; gout rides where the
+    forward's out lived.  Same no-program_id discipline (vmap safety)."""
+    h = K // 2
+    NB = NQ // QW
+    invalid = int(INVALID_KEY)
+    (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
+    zmask = ez - 1
+
+    keys_row = keys_row_ref[0]                        # [NB, QW]
+    xd = jax.lax.shift_right_logical(keys_row, sx)
+    yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
+    valid_q = keys_row < invalid
+
+    def dx_body(dxi, _):
+        dxo = dxi - h
+        for dy in range(K):
+            dyo = dy - h
+            delta = dxo * (1 << sx) + dyo * (1 << sy)
+            ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
+                (yd + dyo >= 0) & (yd + dyo < ey)
+            tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
+            ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
+
+            def block(b, acc, dy=dy):
+                lo = lo_ref[0, dxi, dy, b]
+                hi = hi_ref[0, dxi, dy, b]
+                tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
+                ztkb = ztk_scr[pl.ds(b, 1), :]
+                s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
+
+                def cond(c):
+                    return jnp.logical_not(c[1])
+
+                def body(c):
+                    s, _, g, cov = c
+                    s = pl.multiple_of(s, 8)
+                    sk = keys_col_ref[0, pl.ds(s, SLAB), :]    # [SLAB, 1]
+                    zs = sk & zmask
+                    d = sk - tkb                               # [SLAB, QW]
+                    zdl = zs - ztkb
+                    fs = feats_ref[0, pl.ds(s, SLAB), :]       # [SLAB, C]
+                    fresh = (s + jax.lax.broadcasted_iota(
+                        jnp.int32, (SLAB, 1), 0)) >= cov
+                    q = jnp.where((d == zdl) & fresh, d,
+                                  jnp.int32(1 << 20))          # [SLAB, QW]
+                    gs = []
+                    for dz in range(-h, h + 1):
+                        e = (q == dz).astype(jnp.bfloat16)
+                        gs.append(jax.lax.dot_general(
+                            e, fs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))  # [QW, C]
+                    g = g + jnp.concatenate(gs, axis=1)        # [QW, K*C]
+                    done = (s + SLAB > hi) | (s >= N - SLAB)
+                    nxt = jnp.minimum(s + SLAB,
+                                      N - SLAB).astype(jnp.int32)
+                    return (nxt, done, g, s + SLAB)
+
+                _, _, g, _ = jax.lax.while_loop(
+                    cond, body,
+                    (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32),
+                     jnp.int32(-(1 << 29))))
+                qpos = pl.multiple_of(b * QW, _LANE)
+                gb = gout_ref[0, pl.ds(qpos, QW), :]           # [QW, Cout]
+                # transposed weight apply: [K*C, QW] @ [QW, Cout]
+                return acc + jax.lax.dot_general(
+                    g.astype(jnp.bfloat16), gb,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            acc = jax.lax.fori_loop(
+                0, NB, block, jnp.zeros((K * C, Cout), jnp.float32))
+            dw_ref[0, dxi, dy] = acc
+        return 0
+
+    jax.lax.fori_loop(0, K, dx_body, 0)
+
+
+def _pallas_dw(coords, valid, feats, gout, kernel_size: int,
+               stride: int = 1, qlat=None, qvalid=None,
+               w_groups: int = 0):
+    """dL/dW of ``_pallas_forward`` given output cotangent ``gout``
+    [G, NQ, Cout] (pre-masked by query validity).  Returns
+    [Gw, K, K, K*C, Cout] f32 with the scene axis already reduced when
+    ``w_groups`` shares weights across folded scenes."""
+    G = feats.shape[0]
+    Cout = gout.shape[-1]
+    lo, hi, keys_col, keys_row, featsb, \
+        (K, C, N, NQ, QW, SLAB, NB) = _prep_tables(
+            coords, valid, feats, kernel_size, stride, qlat, qvalid)
+    goutb = gout.astype(jnp.bfloat16)
+
+    kern = functools.partial(_dw_kernel, K=K, C=C, Cout=Cout, N=N, NQ=NQ,
+                             QW=QW, SLAB=SLAB)
+    interpret = jax.default_backend() != "tpu"
+    dw = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, QW), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NQ, Cout), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, K, K * C, Cout),
+                               lambda g: (g, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, K, K, K * C, Cout),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NB, QW), jnp.int32),
+            pltpu.VMEM((NB, QW), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(lo, hi, keys_col, keys_row, featsb, goutb)
+    if w_groups and w_groups != G:
+        dw = dw.reshape((G // w_groups, w_groups) + dw.shape[1:]).sum(0)
+    return dw
+
+
+def _dw_to_w_layout(dw, K, C, w_like):
+    """[Gw, K, K, K*C, Cout] (dz-major rows) -> w's [Gw, K^3, Cin, Cout]."""
+    Gw, Cout = dw.shape[0], dw.shape[-1]
+    return dw.reshape(Gw, K, K, K, C, Cout) \
+             .reshape(Gw, K ** 3, C, Cout).astype(w_like.dtype)
+
+
 def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
                           stride: int = 1, w_groups: int = 0):
     """(Per-class) submanifold K^3 conv, MXU-fused forward + XLA-vjp
@@ -414,19 +581,31 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
         return f(coords, valid, feats, w), (coords, valid, feats, w)
 
     def bwd(res, g):
-        # scatter-free: dfeats = reversed-offset transposed conv; dW from
-        # a w-only VJP (core/sparse_conv.py scan_conv_grouped_classes_t)
+        # scatter-free either way; default keeps the backward on the MXU
+        # kernels: dfeats IS the same submanifold conv with reversed,
+        # transposed weights (one more _pallas_forward), and dW is the
+        # fused transposed weight-apply (_dw_kernel).  CAGROUP_XLA_BWD=1
+        # opts back into the XLA z-run paths (core/sparse_conv.py).
         from ..core.sparse_conv import _dw_only, _w_rev_t
         coords, valid, feats, w = res
         g = jnp.where(valid[..., None], g, 0.0)
-        dfe = scan_conv_grouped_classes(
-            coords, valid, g, stride, kernel_size, _w_rev_t(w),
-            w_groups=w_groups
-        ).astype(feats.dtype)
-        dwe = _dw_only(
-            lambda we: scan_conv_grouped_classes(
-                coords, valid, feats, stride, kernel_size, we,
-                w_groups=w_groups), w, g)
+        if _mxu_bwd_enabled():
+            dfe = _pallas_forward(
+                coords, valid, g, _w_rev_t(w), kernel_size, stride,
+                w_groups=w_groups).astype(feats.dtype)
+            dwe = _dw_to_w_layout(
+                _pallas_dw(coords, valid, feats, g, kernel_size, stride,
+                           w_groups=w_groups),
+                kernel_size, feats.shape[-1], w)
+        else:
+            dfe = scan_conv_grouped_classes(
+                coords, valid, g, stride, kernel_size, _w_rev_t(w),
+                w_groups=w_groups
+            ).astype(feats.dtype)
+            dwe = _dw_only(
+                lambda we: scan_conv_grouped_classes(
+                    coords, valid, feats, stride, kernel_size, we,
+                    w_groups=w_groups), w, g)
         zc = np.zeros(coords.shape, jax.dtypes.float0)
         zv = np.zeros(valid.shape, jax.dtypes.float0)
         return zc, zv, dfe, dwe
@@ -470,17 +649,38 @@ def conv_at_coords_mxu(src_coords, src_valid, src_feats, src_stride: int,
             (src_coords, src_valid, src_feats, qlat, qvalid, w)
 
     def bwd(res, g):
-        # scatter-free (see core/sparse_conv.py scan_conv_grouped_t)
+        # scatter-free (see core/sparse_conv.py scan_conv_grouped_t);
+        # default keeps both grads on the MXU kernels with the tables'
+        # roles swapped: dfeats is a conv-at-coords FROM the query table
+        # AT the source lattice with reversed, transposed weights
         from ..core.sparse_conv import _dw_only, _w_rev_t
         src_coords, src_valid, src_feats, qlat, qvalid, w = res
         g = jnp.where(qvalid[:, None], g, 0.0)
-        dfe = scan_conv_grouped(
-            qlat * src_stride, qvalid, g, src_stride, src_coords,
-            src_valid, kernel_size, _w_rev_t(w)).astype(src_feats.dtype)
-        dwe = _dw_only(
-            lambda we: scan_conv_grouped(
-                src_coords, src_valid, src_feats, src_stride,
-                qlat * src_stride, qvalid, kernel_size, we), w, g)
+        NQ, N = qlat.shape[0], src_coords.shape[0]
+        slab = _SLAB_FOR[_LANE]
+        if _mxu_bwd_enabled() and NQ % _LANE == 0 and NQ >= slab \
+                and N % _LANE == 0 and N >= slab:
+            src_lat = jnp.floor_divide(src_coords, src_stride) \
+                if src_stride != 1 else src_coords
+            dfe = _pallas_forward(
+                qlat[None], qvalid[None], g[None], _w_rev_t(w)[None],
+                kernel_size, 1, qlat=src_lat[None],
+                qvalid=src_valid[None])[0].astype(src_feats.dtype)
+            dwe = _dw_to_w_layout(
+                _pallas_dw(src_coords[None], src_valid[None],
+                           src_feats[None], g[None], kernel_size,
+                           src_stride, qlat=qlat[None],
+                           qvalid=qvalid[None]),
+                kernel_size, src_feats.shape[-1], w[None])[0]
+        else:
+            dfe = scan_conv_grouped(
+                qlat * src_stride, qvalid, g, src_stride, src_coords,
+                src_valid, kernel_size,
+                _w_rev_t(w)).astype(src_feats.dtype)
+            dwe = _dw_only(
+                lambda we: scan_conv_grouped(
+                    src_coords, src_valid, src_feats, src_stride,
+                    qlat * src_stride, qvalid, kernel_size, we), w, g)
         z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
         return (z(src_coords), z(src_valid), dfe, z(qlat), z(qvalid), dwe)
 

@@ -52,6 +52,26 @@ def test_grads_match_xla(case):
         assert e < 5e-2, e
 
 
+def test_mxu_bwd_matches_xla_bwd(case, monkeypatch):
+    """The fused MXU backward (_dw_kernel + reversed-weight
+    _pallas_forward) against the XLA backward of the SAME op, selected
+    via CAGROUP_XLA_BWD — isolates the backward kernels from forward
+    noise."""
+    fc, ff, fv, w = case
+
+    def loss(f, ww):
+        return jnp.sum(subm_conv_classes_mxu(fc, fv, f, ww, 5) ** 2)
+
+    monkeypatch.delenv("CAGROUP_XLA_BWD", raising=False)
+    g_mxu = jax.grad(loss, argnums=(0, 1))(ff, w)
+    monkeypatch.setenv("CAGROUP_XLA_BWD", "1")
+    g_xla = jax.grad(loss, argnums=(0, 1))(ff, w)
+    for a, b in zip(g_mxu, g_xla):
+        e = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-9)
+        assert e < 2e-2, e
+
+
 def test_sparse_occupancy_and_empty_class(case):
     """Classes with very few (or zero) valid voxels must still be exact:
     the rank-window while-loop and invalid-tail guards are the risk."""

@@ -401,13 +401,22 @@ def test_folded_pallas_w_groups_interpret(tables):
         np.testing.assert_allclose(np.asarray(out_s[b]), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
-    # grad-of-vmap through the folded Pallas op (bwd = folded XLA path)
+    # grad-of-vmap through the folded Pallas op (bwd = the fused MXU
+    # backward with w_groups scene reduction) vs the folded XLA op
     def loss(feats, w):
         out = jax.vmap(lambda c, v, f: folded_subm_mxu(c, v, f, w, 3))(
             coords, valid, feats)
         return jnp.sum(out ** 2)
 
+    def loss_ref(feats, w):
+        from cagroup3d_tpu.core.scene_fold import folded_grouped_classes_t
+        out = jax.vmap(lambda c, v, f: folded_grouped_classes_t(
+            c, v, f, 1, 3, w))(coords, valid, feats)
+        return jnp.sum(out ** 2)
+
     gf, gw = jax.grad(loss, argnums=(0, 1))(feats, w)
-    assert np.isfinite(np.asarray(gf)).all()
-    assert np.isfinite(np.asarray(gw)).all()
-    assert float(jnp.abs(gw).sum()) > 0
+    grf, grw = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    for a, b in ((gf, grf), (gw, grw)):
+        e = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-9)
+        assert e < 5e-2, e
