@@ -19,6 +19,26 @@ from .hashing import INVALID_KEY, pack_coords
 from .sparse import PAD_COORD, SparseTensor
 
 
+def arrival_rank(lat: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-point rank within its voxel in ARRIVAL order: the i-th valid
+    point landing in a voxel gets rank i (spconv's point-to-voxel fill
+    order, reference data_processor.py transform_points_to_voxels —
+    the voxelizer keeps the first MAX_POINTS_PER_VOXEL points of the
+    already-shuffled array).  Invalid rows get a large rank.
+
+    lat i32[P, 3]; valid [P].  Returns i32[P]."""
+    keys = pack_coords(lat, valid)
+    P = keys.shape[0]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    order = jnp.argsort(keys, stable=True).astype(jnp.int32)
+    sk = jnp.take(keys, order)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    start = jnp.maximum.accumulate(jnp.where(is_new, idx, 0))
+    pos = idx - start
+    rank = jnp.zeros((P,), jnp.int32).at[order].set(pos)
+    return jnp.where(valid, rank, jnp.int32(1 << 30))
+
+
 def unique_voxels(lat: jnp.ndarray, feats: jnp.ndarray, valid: jnp.ndarray,
                   cap: int, mode: str = "mean", stats: dict = None,
                   stat_name: str = "unique", drop_offset=None

@@ -7,6 +7,14 @@ Our dataloader hands raw padded points; voxelization happens on-device
   MeanVFE:   per-voxel mean of point features (== ME UNWEIGHTED_AVERAGE)
   PillarVFE: per-pillar PointNet (linear+BN+ReLU+max) over decorated
              points (xyz, intensity.., cluster offset, center offset)
+
+Point-per-voxel capping: the spconv voxelizer (reference data_processor
+.py transform_points_to_voxels) keeps only the FIRST
+MAX_POINTS_PER_VOXEL points per voxel of the (shuffled) point array;
+the static VFEs then reduce over that capped set.  ``max_points_per_
+voxel`` reproduces this with an arrival-rank mask (core.voxelize
+.arrival_rank); the Dyn* VFEs reduce over ALL points (reference
+dynamic_{mean,pillar}_vfe.py) and pass None.
 """
 from __future__ import annotations
 
@@ -17,14 +25,22 @@ import jax.numpy as jnp
 
 from ...core.module import Ctx, Params, apply_bn, init_bn, init_linear
 from ...core.sparse import SparseTensor
-from ...core.voxelize import unique_voxels
+from ...core.voxelize import arrival_rank, unique_voxels
+
+
+def _cap_points(lat, pvalid, max_points):
+    if max_points is None:
+        return pvalid
+    return pvalid & (arrival_rank(lat, pvalid) < max_points)
 
 
 class MeanVFE:
     """mean_vfe.py: voxel feature = mean of its points' features."""
 
-    def __init__(self, model_cfg, num_point_features: int = 4, **kwargs):
+    def __init__(self, model_cfg, num_point_features: int = 4,
+                 max_points_per_voxel=None, **kwargs):
         self.num_point_features = num_point_features
+        self.max_points = max_points_per_voxel
 
     def init(self, rng, prefix="vfe") -> Tuple[Params, Params]:
         return {}, {}
@@ -38,6 +54,7 @@ class MeanVFE:
         equals num_point_features (4 on KITTI)."""
         xyz = points[:, :3] - jnp.asarray(pc_range[:3])
         lat = jnp.floor(xyz / jnp.asarray(voxel_size)).astype(jnp.int32)
+        pvalid = _cap_points(lat, pvalid, self.max_points)
         st, _ = unique_voxels(
             lat, points[:, :self.num_point_features], pvalid, cap,
             mode="mean", stats=getattr(ctx, "stats", None),
@@ -50,7 +67,8 @@ class PillarVFE:
     pillar max.  USE_NORM assumed true, single NUM_FILTERS layer (the
     PointPillar config)."""
 
-    def __init__(self, model_cfg, num_point_features: int = 4, **kwargs):
+    def __init__(self, model_cfg, num_point_features: int = 4,
+                 max_points_per_voxel=None, **kwargs):
         c = model_cfg
         self.with_distance = bool(c.get("WITH_DISTANCE", False))
         self.use_absolute_xyz = bool(c.get("USE_ABSLOTE_XYZ",
@@ -63,7 +81,7 @@ class PillarVFE:
             n_in -= 3
         self.n_in = n_in
         self.num_point_features = self.num_filters[-1]
-        self.max_points = int(c.get("MAX_POINTS_PER_VOXEL", 32))
+        self.max_points = max_points_per_voxel
 
     def init(self, rng, prefix="vfe") -> Tuple[Params, Params]:
         P: Params = {}
@@ -84,6 +102,7 @@ class PillarVFE:
         xyz = points[:, :3] - rng0
         lat = jnp.floor(xyz / vs).astype(jnp.int32)
         lat = lat.at[:, 2].set(0)
+        pvalid = _cap_points(lat, pvalid, self.max_points)
         st, inv = unique_voxels(lat, points[:, :1] * 0, pvalid, cap,
                                 mode="mean",
                                 stats=getattr(ctx, "stats", None),

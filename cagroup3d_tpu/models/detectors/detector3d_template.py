@@ -47,16 +47,22 @@ class Detector3DTemplate:
             return None  # indoor models voxelize on-device (cagroup3d.py)
         from ..backbones_3d.vfe import MeanVFE, PillarVFE
         # DynMeanVFE / DynPillarVFE (reference dynamic_{mean,pillar}_vfe
-        # .py) differ from the base VFEs only in processing ALL points
-        # via scatter instead of the padded [voxel, max_points] layout;
-        # our on-device VFEs are already dynamic (unique_voxels segment
-        # reduce over every point, no per-voxel point cap), so the
-        # dynamic names resolve to the same modules.
+        # .py) reduce over ALL points of a voxel; the static VFEs see
+        # only the first MAX_POINTS_PER_VOXEL points the spconv
+        # voxelizer kept (data_processor.py transform_points_to_voxels),
+        # reproduced here with an arrival-rank cap (vfe._cap_points).
         reg = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE,
                "DynMeanVFE": MeanVFE, "DynPillarVFE": PillarVFE}
+        mp = None
+        ds = getattr(self, "dataset", None)
+        if cfg.NAME in ("MeanVFE", "PillarVFE") and ds is not None:
+            for proc in ds.dataset_cfg.get("DATA_PROCESSOR", []):
+                if proc.get("NAME") == "transform_points_to_voxels":
+                    mp = int(proc.get("MAX_POINTS_PER_VOXEL", 0)) or None
         return reg[cfg.NAME](cfg,
                              num_point_features=int(cfg.get(
-                                 "NUM_POINT_FEATURES", 4)))
+                                 "NUM_POINT_FEATURES", 4)),
+                             max_points_per_voxel=mp)
 
     def build_backbone_3d(self):
         cfg = self._cfg("BACKBONE_3D")

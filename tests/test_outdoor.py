@@ -238,3 +238,67 @@ def test_spconv_reduce_lat_matches_dense_reference():
             got = {tuple(r) for r in
                    np.asarray(out_lat)[np.asarray(out_valid)]}
             assert got == expect, (k, s, p, got ^ expect)
+
+
+def test_vfe_max_points_per_voxel_matches_spconv_oracle():
+    """spconv's voxelizer keeps only the FIRST max_points points per
+    voxel of the shuffled array (reference data_processor.py
+    transform_points_to_voxels); MeanVFE must average that capped set,
+    not every point.  Oracle: python dict fill in arrival order."""
+    from cagroup3d_tpu.core.module import Ctx
+    from cagroup3d_tpu.models.backbones_3d.vfe import MeanVFE, PillarVFE
+
+    rs = np.random.RandomState(7)
+    P, MP, CAP = 500, 5, 512
+    pts = np.concatenate([rs.uniform(0, 4, (P, 3)),
+                          rs.randn(P, 1)], 1).astype(np.float32)
+    pvalid = rs.rand(P) > 0.1
+    vs, rng0 = [0.5, 0.5, 0.5], [0.0, 0.0, 0.0]
+
+    # oracle
+    fill = {}
+    for i in range(P):
+        if not pvalid[i]:
+            continue
+        key = tuple((pts[i, :3] // 0.5).astype(int))
+        fill.setdefault(key, [])
+        if len(fill[key]) < MP:
+            fill[key].append(pts[i])
+    expect = {k: np.mean(v, 0) for k, v in fill.items()}
+
+    vfe = MeanVFE(EasyDict({}), num_point_features=4,
+                  max_points_per_voxel=MP)
+    ctx = Ctx(train=False)
+    st = vfe({}, {}, ctx, jnp.asarray(pts), jnp.asarray(pvalid), vs,
+             rng0 + [4.0, 4.0, 4.0], CAP)
+    coords = np.asarray(st.coords)[np.asarray(st.valid)]
+    feats = np.asarray(st.feats)[np.asarray(st.valid)]
+    assert len(coords) == len(expect)
+    for c, f in zip(coords, feats):
+        np.testing.assert_allclose(f, expect[tuple(c)], rtol=2e-4,
+                                   atol=2e-4)
+
+    # PillarVFE: points past the cap must not influence the pooled max
+    pcfg = EasyDict(dict(NUM_FILTERS=[8]))
+    pv = PillarVFE(pcfg, num_point_features=4, max_points_per_voxel=1)
+    Pp, Sp = pv.init(jax.random.PRNGKey(0))
+    pts2 = pts.copy()
+    # every point after the first in each pillar gets a huge feature
+    seen = set()
+    first = np.zeros(P, bool)
+    for i in range(P):
+        key = tuple((pts2[i, :2] // 0.5).astype(int))
+        if key not in seen and pvalid[i]:
+            seen.add(key)
+            first[i] = True
+    pts3 = pts2.copy()
+    pts3[~first, 3] = 1e4
+    out2 = pv(Pp, Sp, Ctx(train=False), jnp.asarray(pts2),
+              jnp.asarray(pvalid), [0.5, 0.5, 4.1],
+              rng0 + [4.0, 4.0, 4.0], CAP)
+    out3 = pv(Pp, Sp, Ctx(train=False), jnp.asarray(pts3),
+              jnp.asarray(pvalid), [0.5, 0.5, 4.1],
+              rng0 + [4.0, 4.0, 4.0], CAP)
+    np.testing.assert_allclose(np.asarray(out2.feats),
+                               np.asarray(out3.feats), rtol=1e-4,
+                               atol=1e-4)
