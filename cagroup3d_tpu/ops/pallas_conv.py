@@ -58,6 +58,9 @@ _LANE = 128
 # interpret mode (Mosaic lowering issue with [SLAB, 256] one-hot
 # compares/stores, ~7% rel err) — keep 128 until the toolchain moves.
 _QW = 128
+# SLAB sweep on v5e (k9, G=18, N=4096, C=64): 128 -> 59.3 ms,
+# 160 -> 46.6, 192 -> 45.6, 256 -> 48.7.  192 balances one-hot width
+# against multi-slab window visits.
 _SLAB_FOR = {128: 192, 256: 320}
 
 
@@ -135,6 +138,12 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     # matmuls themselves are only ~40% of kernel time).
                     q = jnp.where((d == zdl) & fresh, d,
                                   jnp.int32(1 << 20))          # [SLAB, QW]
+                    # dz compares in i16: genuine values are z-digit
+                    # deltas (|d| < z-field width << 2^14) and misses are
+                    # the +2^20 sentinel, so a one-sided clamp into i16
+                    # range is exact; halves the VPU vreg traffic of the
+                    # K one-hot compares that dominate kernel time
+                    q = jnp.minimum(q, 1 << 14).astype(jnp.int16)
                     gs = []
                     for dz in range(-h, h + 1):
                         e = (q == dz).astype(jnp.bfloat16)
@@ -176,8 +185,11 @@ def _conv_kernel_pair(lo_ref, hi_ref, keys_col_ref, keys_row_ref,
     compares/stores miscompile under Mosaic — see _QW/_SLAB_FOR note).
     Exactness: the shared window is the UNION of the two blocks' windows;
     rows outside a block's own matches simply never satisfy the key
-    equality, so widening is free.  Gated by CAGROUP_QW_PAIR=1 pending
-    on-hardware validation (kernel logic is interpret-mode tested)."""
+    equality, so widening is free.  Measured on v5e (k9, G=18, N=4096,
+    C=64): 64.6 ms vs 45.7 ms for the base kernel — the union window
+    widens the walk more than the shared fetch saves, so this stays
+    gated behind CAGROUP_QW_PAIR=1 (exact: maxdiff 0 on hardware;
+    interpret-mode test in tests/test_pallas_conv.py)."""
     h = K // 2
     NB = NQ // QW
     invalid = int(INVALID_KEY)
