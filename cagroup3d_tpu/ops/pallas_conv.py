@@ -136,14 +136,14 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     # then a single equality compare per dz keeps the
                     # one-hot generation off the VPU critical path (the
                     # matmuls themselves are only ~40% of kernel time).
+                    # NOTE: keep the dz compares in i32.  An i16 narrow
+                    # (minimum + cast) was tried to halve VPU vreg
+                    # traffic, but Mosaic on v5e rejects i16 vector cmpi
+                    # ("Target does not support this comparison") — and a
+                    # one-sided clamp is unsound anyway for ZBITS >= 16
+                    # (a -65535 delta wraps to +1: false one-hot match).
                     q = jnp.where((d == zdl) & fresh, d,
                                   jnp.int32(1 << 20))          # [SLAB, QW]
-                    # dz compares in i16: genuine values are z-digit
-                    # deltas (|d| < z-field width << 2^14) and misses are
-                    # the +2^20 sentinel, so a one-sided clamp into i16
-                    # range is exact; halves the VPU vreg traffic of the
-                    # K one-hot compares that dominate kernel time
-                    q = jnp.minimum(q, 1 << 14).astype(jnp.int16)
                     gs = []
                     for dz in range(-h, h + 1):
                         e = (q == dz).astype(jnp.bfloat16)
@@ -176,103 +176,14 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
     jax.lax.fori_loop(0, K, dx_body, 0)
 
 
-def _conv_kernel_pair(lo_ref, hi_ref, keys_col_ref, keys_row_ref,
-                      feats_ref, w_ref, out_ref, tk_scr, ztk_scr, *, K, C,
-                      Cout, N, NQ, QW, SLAB):
-    """Paired-block variant: two adjacent 128-query blocks share one
-    rank-window walk, so each [SLAB, C] feature-slab fetch serves 256
-    queries while every TENSOR stays 128 lanes wide (QW=256 one-hot
-    compares/stores miscompile under Mosaic — see _QW/_SLAB_FOR note).
-    Exactness: the shared window is the UNION of the two blocks' windows;
-    rows outside a block's own matches simply never satisfy the key
-    equality, so widening is free.  Measured on v5e (k9, G=18, N=4096,
-    C=64): 64.6 ms vs 45.7 ms for the base kernel — the union window
-    widens the walk more than the shared fetch saves, so this stays
-    gated behind CAGROUP_QW_PAIR=1 (exact: maxdiff 0 on hardware;
-    interpret-mode test in tests/test_pallas_conv.py)."""
-    h = K // 2
-    NB = NQ // QW
-    invalid = int(INVALID_KEY)
-    (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
-    zmask = ez - 1
-
-    out_ref[0] = jnp.zeros((NQ, Cout), jnp.float32)
-    keys_row = keys_row_ref[0]                        # [NB, QW]
-    xd = jax.lax.shift_right_logical(keys_row, sx)
-    yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
-    valid_q = keys_row < invalid
-
-    def dx_body(dxi, _):
-        dxo = dxi - h
-        for dy in range(K):
-            dyo = dy - h
-            delta = dxo * (1 << sx) + dyo * (1 << sy)
-            ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
-                (yd + dyo >= 0) & (yd + dyo < ey)
-            tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
-            ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
-
-            def blockp(b2, _, dy=dy):
-                b0 = 2 * b2
-                lo = jnp.minimum(lo_ref[0, dxi, dy, b0],
-                                 lo_ref[0, dxi, dy, b0 + 1])
-                hi = jnp.maximum(hi_ref[0, dxi, dy, b0],
-                                 hi_ref[0, dxi, dy, b0 + 1])
-                tkb0 = tk_scr[pl.ds(b0, 1), :]        # [1, QW]
-                ztkb0 = ztk_scr[pl.ds(b0, 1), :]
-                tkb1 = tk_scr[pl.ds(b0 + 1, 1), :]
-                ztkb1 = ztk_scr[pl.ds(b0 + 1, 1), :]
-                s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
-
-                def cond(c):
-                    return jnp.logical_not(c[1])
-
-                def body(c):
-                    s, _, g0, g1, cov = c
-                    s = pl.multiple_of(s, 8)
-                    sk = keys_col_ref[0, pl.ds(s, SLAB), :]   # [SLAB, 1]
-                    zs = sk & zmask
-                    fs = feats_ref[0, pl.ds(s, SLAB), :]      # [SLAB, C]
-                    fresh = (s + jax.lax.broadcasted_iota(
-                        jnp.int32, (SLAB, 1), 0)) >= cov
-                    q0 = jnp.where(((sk - tkb0) == (zs - ztkb0)) & fresh,
-                                   sk - tkb0, jnp.int32(1 << 20))
-                    q1 = jnp.where(((sk - tkb1) == (zs - ztkb1)) & fresh,
-                                   sk - tkb1, jnp.int32(1 << 20))
-                    gs0, gs1 = [], []
-                    for dz in range(-h, h + 1):
-                        e0 = (q0 == dz).astype(jnp.bfloat16)
-                        gs0.append(jax.lax.dot_general(
-                            e0, fs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
-                        e1 = (q1 == dz).astype(jnp.bfloat16)
-                        gs1.append(jax.lax.dot_general(
-                            e1, fs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
-                    g0 = g0 + jnp.concatenate(gs0, axis=1)
-                    g1 = g1 + jnp.concatenate(gs1, axis=1)
-                    done = (s + SLAB > hi) | (s >= N - SLAB)
-                    nxt = jnp.minimum(s + SLAB,
-                                      N - SLAB).astype(jnp.int32)
-                    return (nxt, done, g0, g1, s + SLAB)
-
-                z = jnp.zeros((QW, K * C), jnp.float32)
-                _, _, g0, g1, _ = jax.lax.while_loop(
-                    cond, body, (s0, s0 > hi, z, z,
-                                 jnp.int32(-(1 << 29))))
-                for half, g in ((0, g0), (1, g1)):
-                    contrib = jax.lax.dot_general(
-                        g.astype(jnp.bfloat16), w_ref[0, dxi, dy],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    q = pl.multiple_of((b0 + half) * QW, _LANE)
-                    out_ref[0, pl.ds(q, QW), :] += contrib
-                return 0
-
-            jax.lax.fori_loop(0, NB // 2, blockp, 0)
-        return 0
-
-    jax.lax.fori_loop(0, K, dx_body, 0)
+# A paired-block kernel variant (two adjacent 128-query blocks sharing
+# one rank-window walk over the UNION of their windows, every tensor
+# kept 128 lanes wide) was built and measured on v5e (k9, G=18, N=4096,
+# C=64): 64.6 ms vs 45.7 ms for the base kernel — the union window
+# widens the walk more than the shared fetch saves, so it was removed
+# (round-3 CAGROUP_QW_PAIR experiment).  The remaining lever for
+# amortizing slab fetches is a true QW=256 one-hot, blocked on the
+# Mosaic miscompile noted at _QW above.
 
 
 def _rank_bounds(qkeys, skeys, K):
@@ -377,11 +288,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
           .reshape(Gw, K, K, K, C, Cout)       # [Gw, dx, dy, dz, C, O]
           .reshape(Gw, K, K, K * C, Cout))
 
-    import os
-    pair = (os.environ.get("CAGROUP_QW_PAIR") == "1" and QW == _LANE
-            and NB % 2 == 0)
     kern = functools.partial(
-        _conv_kernel_pair if pair else _conv_kernel,
+        _conv_kernel,
         K=K, C=C, Cout=Cout, N=N, NQ=NQ, QW=QW, SLAB=SLAB)
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(

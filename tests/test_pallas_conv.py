@@ -192,14 +192,3 @@ def test_conv_at_coords_matches_xla():
         e = np.abs(np.asarray(a) - np.asarray(b)).max() / \
             (np.abs(np.asarray(b)).max() + 1e-9)
         assert e < 5e-2, e
-
-
-def test_pair_kernel_matches_base(case, monkeypatch):
-    """CAGROUP_QW_PAIR=1 (two 128-lane query blocks sharing one slab
-    walk) must be bit-compatible with the base kernel."""
-    fc, ff, fv, w = case
-    monkeypatch.delenv("CAGROUP_QW_PAIR", raising=False)
-    base = np.asarray(subm_conv_classes_mxu(fc, fv, ff, w, 5))
-    monkeypatch.setenv("CAGROUP_QW_PAIR", "1")
-    pair = np.asarray(subm_conv_classes_mxu(fc, fv, ff, w, 5))
-    np.testing.assert_allclose(pair, base, rtol=1e-5, atol=1e-5)
