@@ -65,7 +65,13 @@ def convert_state_dict(sd, n_classes: int):
         val = np.asarray(val, dtype=np.float32)
         if name.endswith("num_batches_tracked"):
             continue
+        if name.startswith("module."):   # DDP-wrapped save
+            name = name[len("module."):]
         name = name.replace(".bn.", ".")
+        # ME 0.5.x stores MinkowskiConvolution bias as (1, Cout)
+        # (MinkowskiConvolutionBase); ours is flat (Cout,)
+        if name.endswith(".bias") and val.ndim == 2 and val.shape[0] == 1:
+            val = val.reshape(-1)
         # per-class ModuleLists -> collect, stack later
         m = re.match(
             r"(.*\.(?:cls_individual_\w+|scales))\.(\d+)\.(.*)", name)
@@ -114,6 +120,9 @@ def main():
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--cfg_file", required=True)
+    ap.add_argument("--strict", action="store_true",
+                    help="exit non-zero on any missing/unexpected/"
+                         "shape-mismatched key")
     args = ap.parse_args()
 
     import torch
@@ -131,19 +140,28 @@ def main():
     params, state = convert_state_dict(sd, n_classes)
 
     # validate against a freshly initialized model: same keys, same shapes
+    # (eval_shape: no compute, just the param tree structure)
     import jax
     model = build_network(c.MODEL, num_class=n_classes)
-    P0, S0 = model.init(jax.random.PRNGKey(0))
-    missing = sorted(set(P0) - set(params))
-    unexpected = sorted(set(params) - set(P0))
-    for k in sorted(set(P0) & set(params)):
-        if tuple(P0[k].shape) != tuple(params[k].shape):
-            print(f"SHAPE MISMATCH {k}: ours {P0[k].shape} "
-                  f"ref {params[k].shape}")
-    if missing:
-        print(f"missing ({len(missing)}):", missing[:20])
-    if unexpected:
-        print(f"unexpected ({len(unexpected)}):", unexpected[:20])
+    P0, S0 = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    problems = 0
+    for label, ours, got in (("param", P0, params), ("state", S0, state)):
+        missing = sorted(set(ours) - set(got))
+        unexpected = sorted(set(got) - set(ours))
+        mismatched = [k for k in sorted(set(ours) & set(got))
+                      if tuple(ours[k].shape) != tuple(got[k].shape)]
+        for k in mismatched:
+            print(f"SHAPE MISMATCH {label} {k}: ours {ours[k].shape} "
+                  f"ref {got[k].shape}")
+        if missing:
+            print(f"missing {label}s ({len(missing)}):", missing[:20])
+        if unexpected:
+            print(f"unexpected {label}s ({len(unexpected)}):",
+                  unexpected[:20])
+        problems += len(missing) + len(unexpected) + len(mismatched)
+    if args.strict and problems:
+        print(f"STRICT: {problems} problems")
+        sys.exit(1)
 
     with open(args.dst, "wb") as f:
         pickle.dump(dict(params=params, state=state,
