@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--scenes", type=int, default=10)
+    ap.add_argument("--ab", action="store_true",
+                    help="capacity A/B: re-eval the trained weights under "
+                         "tight caps that force overflow drops and bound "
+                         "the mAP@0.25 delta (SURVEY hard-part #1)")
+    ap.add_argument("--ab_budget", type=float, default=0.05)
     args = ap.parse_args()
 
     import jax
@@ -82,34 +87,61 @@ def main():
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
-    # eval all scenes (batch-1 protocol), build indoor_eval annos
-    feval = jax.jit(lambda P, S, b: model.forward_eval(P, S, b,
-                                                       cur_epoch=100))
-    dt_annos, gt_annos = [], []
-    for i in range(args.scenes):
-        b1 = {k: jnp.asarray(np.asarray(v)[i:i + 1])
-              for k, v in data.items()}
-        out = feval(P, S, {"points": b1["points"],
-                           "points_valid": b1["points_valid"]})
-        v = np.asarray(out["pred_valid"][0])
-        boxes = np.asarray(out["pred_boxes"][0])[v]
-        scores = np.asarray(out["pred_scores"][0])[v]
-        labels = np.asarray(out["pred_labels"][0])[v]
-        dt_annos.append(dict(boxes_3d=boxes[:, :7], scores_3d=scores,
-                             labels_3d=labels))
-        gm = np.asarray(data["gt_valid"][i])
-        gb = np.asarray(data["gt_boxes"][i])[gm]
-        gt_annos.append(dict(gt_num=len(gb),
-                             gt_boxes_upright_depth=gb[:, :7],
-                             **{"class": gb[:, 7].astype(np.int64)}))
+    def evaluate(eval_model):
+        """Batch-1 eval of the trained weights through indoor_eval;
+        returns (mAP@0.25, mAP@0.50, total overflow-dropped voxels)."""
+        feval = jax.jit(lambda P, S, b: eval_model.forward_eval(
+            P, S, b, cur_epoch=100))
+        dt_annos, gt_annos = [], []
+        overflow = 0
+        for i in range(args.scenes):
+            b1 = {k: jnp.asarray(np.asarray(v)[i:i + 1])
+                  for k, v in data.items()}
+            out = feval(P, S, {"points": b1["points"],
+                               "points_valid": b1["points_valid"]})
+            overflow += int(np.asarray(out.get("overflow", 0)).sum())
+            v = np.asarray(out["pred_valid"][0])
+            boxes = np.asarray(out["pred_boxes"][0])[v]
+            scores = np.asarray(out["pred_scores"][0])[v]
+            labels = np.asarray(out["pred_labels"][0])[v]
+            dt_annos.append(dict(boxes_3d=boxes[:, :7], scores_3d=scores,
+                                 labels_3d=labels))
+            gm = np.asarray(data["gt_valid"][i])
+            gb = np.asarray(data["gt_boxes"][i])[gm]
+            gt_annos.append(dict(gt_num=len(gb),
+                                 gt_boxes_upright_depth=gb[:, :7],
+                                 **{"class": gb[:, 7].astype(np.int64)}))
+        label2cat = {i: f"c{i}" for i in range(n_cls)}
+        ret = indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
+        return (float(ret.get("mAP_0.25", 0.0)),
+                float(ret.get("mAP_0.50", 0.0)), overflow)
 
-    label2cat = {i: f"c{i}" for i in range(n_cls)}
-    ret = indoor_eval(gt_annos, dt_annos, [0.25, 0.5], label2cat)
-    m25 = float(ret.get("mAP_0.25", 0.0))
-    m50 = float(ret.get("mAP_0.50", 0.0))
+    m25, m50, ovf = evaluate(model)
     ok = m25 >= args.threshold
-    print(json.dumps(dict(map25=round(m25, 4), map50=round(m50, 4),
-                          steps=args.steps, ok=bool(ok))))
+    result = dict(map25=round(m25, 4), map50=round(m50, 4),
+                  steps=args.steps, overflow=ovf, ok=bool(ok))
+
+    if args.ab:
+        # same trained weights, capacities tightened until voxels are
+        # actually dropped: quantifies the overflow-drop policy's mAP
+        # cost (params are capacity-independent, so P/S transfer as-is)
+        import copy
+        tight = copy.deepcopy(cfg)
+        tight.INPUT_CAP = 256
+        tight.BACKBONE_3D.CAPS = {k: max(8, v // 4)
+                                  for k, v in model.backbone_3d.caps.items()}
+        tight.DENSE_HEAD.FINE_CAP = 256
+        tight.DENSE_HEAD.EXPAND_CAP = 128
+        model_t = build_network(tight, num_class=n_cls)
+        t25, t50, t_ovf = evaluate(model_t)
+        delta = m25 - t25
+        ab_ok = t_ovf > 0 and delta <= args.ab_budget
+        result.update(ab_map25=round(t25, 4), ab_map50=round(t50, 4),
+                      ab_overflow=t_ovf, ab_delta=round(delta, 4),
+                      ab_budget=args.ab_budget, ab_ok=bool(ab_ok))
+        ok = ok and ab_ok
+
+    print(json.dumps(result))
     return 0 if ok else 1
 
 
