@@ -85,7 +85,11 @@ class CAGroup3D(Detector3DTemplate):
         ctx = Ctx(train=train, axis_name=axis_name, rng=rng)
         # opt-in: MXU conv kernels during training (vmapped Pallas blocks
         # grow with the per-device batch; safe for B <= 2)
-        ctx.mxu_train = bool(self.model_cfg.get("MXU_TRAIN", False))
+        # Default ON since round 4: with the stride-1 stem (and the
+        # 32768-row stride-2 table) routed to the XLA path by the VMEM
+        # gate, the MXU kernels bring the measured full-caps B=2 train
+        # step from 1380 to 986 ms on v5e (tools/bench_train.py).
+        ctx.mxu_train = bool(self.model_cfg.get("MXU_TRAIN", True))
         # train: capacity overflow sheds a randomly rotated rank window
         # instead of a fixed spatial corner slab (core/voxelize.py)
         drop_off = jax.random.randint(ctx.next_rng(), (), 0, 1 << 30) \

@@ -132,16 +132,29 @@ def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
     import jax
     from ..ops.pallas_conv import mxu_conv_vmem_bytes
     # scene_fold: the batch folds into the Pallas grid axis, so per-step
-    # VMEM stays one table regardless of batch — eval budget applies
-    budget = _MXU_VMEM_BUDGET_EVAL \
+    # VMEM stays one table regardless of batch — eval budget applies.
+    # Measured on v5e: the TRAINING vmap still ~doubles the kernel's
+    # scoped-vmem peak vs the same blocks in eval (the batch grid dim is
+    # double-buffered too: the 65536-row stem needs 97M in train vs
+    # fitting 52M in eval), so charge 2x under ctx.train — this keeps
+    # the stride>=2 backbone and head tables on the MXU kernel and
+    # routes only the stride-1 stem to the XLA path in training.
+    need = mxu_conv_vmem_bytes(st.cap, st.num_channels, cout, k)
+    if ctx.train:
+        # Mosaic additionally sizes its DMA buffers AGAINST the scoped
+        # limit under the train vmap (observed: the 32768-row conv's
+        # scoped request lands at limit+256K for ANY limit), so the
+        # 32768-row stride-2 table can never fit — 48M excludes it and
+        # keeps the <=16384-row backbone + head tables on the kernel.
+        need *= 2
+    budget = (48 * 1024 * 1024 if ctx.train else _MXU_VMEM_BUDGET_EVAL) \
         if (not ctx.train or getattr(ctx, "scene_fold", False)) \
         else _MXU_VMEM_BUDGET_TRAIN
     return (jax.default_backend() == "tpu"
             and (not ctx.train or getattr(ctx, "mxu_train", False))
             and k % 2 == 1
             and st.cap % 128 == 0 and st.cap >= 192
-            and mxu_conv_vmem_bytes(st.cap, st.num_channels, cout, k)
-            <= budget)
+            and need <= budget)
 
 
 def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,

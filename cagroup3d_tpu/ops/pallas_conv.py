@@ -42,6 +42,7 @@ lets the XLA fallback take the VJP of the reference implementation
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -66,7 +67,6 @@ _SLAB_FOR = {128: 192, 256: 320}
 
 def _mxu_bwd_enabled():
     """Backward stays on the MXU kernels unless CAGROUP_XLA_BWD=1."""
-    import os
     return os.environ.get("CAGROUP_XLA_BWD") != "1"
 
 
@@ -108,6 +108,19 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
             def block(b, _, dy=dy):
                 lo = lo_ref[0, dxi, dy, b]
                 hi = hi_ref[0, dxi, dy, b]
+
+                # Empty rank window => no key in the table can match any
+                # query of this block at this (dx, dy): skip the walk AND
+                # the weight-apply matmul.  For k9 (81 (dx,dy) pairs over
+                # sparse per-class tables) most windows are empty and the
+                # unconditional [QW, K*C] @ [K*C, Cout] accumulates of
+                # zero tiles dominated kernel time.
+                @pl.when(lo <= hi)
+                def _nonempty(dy=dy, b=b, lo=lo, hi=hi):
+                    _gather_apply(dy, b, lo, hi)
+                return 0
+
+            def _gather_apply(dy, b, lo, hi):
                 tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
                 ztkb = ztk_scr[pl.ds(b, 1), :]
                 s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
@@ -136,12 +149,13 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     # then a single equality compare per dz keeps the
                     # one-hot generation off the VPU critical path (the
                     # matmuls themselves are only ~40% of kernel time).
-                    # NOTE: keep the dz compares in i32.  An i16 narrow
-                    # (minimum + cast) was tried to halve VPU vreg
-                    # traffic, but Mosaic on v5e rejects i16 vector cmpi
-                    # ("Target does not support this comparison") — and a
-                    # one-sided clamp is unsound anyway for ZBITS >= 16
-                    # (a -65535 delta wraps to +1: false one-hot match).
+                    # NOTE: the dz compares must stay i32.  Both sub-word
+                    # narrows were tried to cut VPU vreg traffic and BOTH
+                    # fail to lower on v5e Mosaic with "Target does not
+                    # support this comparison": i16 vector cmpi AND bf16
+                    # vector cmpf — v5e vector compares are 32-bit only.
+                    # (The i16 one-sided clamp was also unsound for
+                    # ZBITS >= 15: a -65535 delta wraps to +1.)
                     q = jnp.where((d == zdl) & fresh, d,
                                   jnp.int32(1 << 20))          # [SLAB, QW]
                     gs = []
@@ -318,9 +332,14 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
             pltpu.VMEM((NB, QW), jnp.int32),
         ],
         # double-buffered blocks can exceed the default 16M scoped-vmem
-        # budget for the larger backbone tables
+        # budget for the larger backbone tables, and the TRAINING vmap
+        # roughly doubles the peak again (batch grid dim double-buffered:
+        # the 32768-row stride-2 conv peaks at 64.25M under vmap vs
+        # fitting 52M in eval) — 80M default leaves headroom on the 128M
+        # chip; CAGROUP_VMEM_MB overrides
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get("CAGROUP_VMEM_MB", 80))
+            * 1024 * 1024),
         interpret=interpret,
     )(lo, hi, keys_col, keys_row, featsb, w2)
     ov = valid if qlat is None else qvalid

@@ -39,9 +39,20 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh):
 
 
 def make_train_step(model, tx, mesh: Optional[Mesh] = None,
-                    donate: bool = True):
+                    donate: bool = True, nan_guard: Optional[bool] = None):
     """Returns jitted step(params, state, opt_state, batch, rng, cur_epoch)
-    -> (params, state, opt_state, loss, tb)."""
+    -> (params, state, opt_state, loss, tb).
+
+    nan_guard (or env CAGROUP_NAN_GUARD=1): wrap the whole step in
+    ``checkify`` float checks — every op is instrumented for nan/inf and
+    the step RAISES with the op's source location on the first
+    non-finite value (SURVEY §5's debugging-hooks plan; the reference
+    has no analogue).  Debug mode: adds per-step host sync + compile
+    cost, and runs without explicit shardings/donation.
+    """
+    if nan_guard is None:
+        import os
+        nan_guard = os.environ.get("CAGROUP_NAN_GUARD") == "1"
 
     def step(params, state, opt_state, batch, rng, cur_epoch):
         def loss_fn(p):
@@ -56,6 +67,18 @@ def make_train_step(model, tx, mesh: Optional[Mesh] = None,
         new_state = dict(state)
         new_state.update(upd)
         return params, new_state, opt_state, loss, tb
+
+    if nan_guard:
+        from jax.experimental import checkify
+        checked = jax.jit(checkify.checkify(
+            step, errors=checkify.float_checks))
+
+        def guarded(*args):
+            err, out = checked(*args)
+            err.throw()   # raises ValueError w/ source location on nan/inf
+            return out
+
+        return guarded
 
     kwargs = {}
     if mesh is not None:

@@ -31,8 +31,8 @@ def main():
     cap = int(os.environ.get("CAP", 65536))
     fcap = int(os.environ.get("FCAP", 4096))
     model = _build_model(tiny=False, input_cap=cap, fine_cap=fcap)
-    if os.environ.get("MXU_TRAIN"):
-        model.model_cfg.MXU_TRAIN = True
+    if os.environ.get("MXU_TRAIN"):   # "1"/"0" override (default now on)
+        model.model_cfg.MXU_TRAIN = os.environ["MXU_TRAIN"] == "1"
     P, S = jax.jit(model.init)(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     b = synthetic_batch(rng, batch_size=2, n_points=100_000,
