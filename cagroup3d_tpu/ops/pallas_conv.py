@@ -70,9 +70,9 @@ def _mxu_bwd_enabled():
     return os.environ.get("CAGROUP_XLA_BWD") != "1"
 
 
-def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
-                 w_ref, out_ref, tk_scr, ztk_scr, *, K, C, Cout, N, NQ,
-                 QW, SLAB):
+def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
+                 feats_ref, w_ref, out_ref, tk_scr, ztk_scr, *, K, C,
+                 Cout, N, NQ, QW, SLAB):
     """Grid is (G,) ONLY, with the dx offset scanned inside the kernel:
     vmap prepends batch grid dimensions, so any pl.program_id(i) use for
     semantics would silently read the wrong axis under batching (the
@@ -100,12 +100,8 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
         for dy in range(K):
             dyo = dy - h
             delta = dxo * (1 << sx) + dyo * (1 << sy)
-            ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
-                (yd + dyo >= 0) & (yd + dyo < ey)
-            tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
-            ztk_scr[:, :] = jnp.where(ok, keys_row & zmask, -(1 << 29))
 
-            def block(b, _, dy=dy):
+            def _block(b, _, dxi=dxi, dy=dy):
                 lo = lo_ref[0, dxi, dy, b]
                 hi = hi_ref[0, dxi, dy, b]
 
@@ -116,11 +112,11 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                 # unconditional [QW, K*C] @ [K*C, Cout] accumulates of
                 # zero tiles dominated kernel time.
                 @pl.when(lo <= hi)
-                def _nonempty(dy=dy, b=b, lo=lo, hi=hi):
-                    _gather_apply(dy, b, lo, hi)
+                def _nonempty(dxi=dxi, dy=dy, b=b, lo=lo, hi=hi):
+                    _gather_apply(dxi, dy, b, lo, hi)
                 return 0
 
-            def _gather_apply(dy, b, lo, hi):
+            def _gather_apply(dxi, dy, b, lo, hi):
                 tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
                 ztkb = ztk_scr[pl.ds(b, 1), :]
                 s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
@@ -182,9 +178,19 @@ def _conv_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                     preferred_element_type=jnp.float32)
                 q = pl.multiple_of(b * QW, _LANE)
                 out_ref[0, pl.ds(q, QW), :] += contrib
-                return 0
 
-            jax.lax.fori_loop(0, NB, block, 0)
+            # whole-(dx, dy) skip: sparse class tables leave entire
+            # offset planes without a single key match (precomputed in
+            # XLA from the rank windows) — skip the scratch writes and
+            # the block loop outright
+            @pl.when(nz_ref[0, dxi, dy] > 0)
+            def _plane(dyo=dyo, delta=delta, _block=_block):
+                ok = valid_q & (xd + dxo >= 0) & (xd + dxo < ex) & \
+                    (yd + dyo >= 0) & (yd + dyo < ey)
+                tk_scr[:, :] = jnp.where(ok, keys_row + delta, -(1 << 29))
+                ztk_scr[:, :] = jnp.where(ok, keys_row & zmask,
+                                          -(1 << 29))
+                jax.lax.fori_loop(0, NB, _block, 0)
         return 0
 
     jax.lax.fori_loop(0, K, dx_body, 0)
@@ -302,6 +308,10 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
           .reshape(Gw, K, K, K, C, Cout)       # [Gw, dx, dy, dz, C, O]
           .reshape(Gw, K, K, K * C, Cout))
 
+    # per-(dx, dy) any-nonempty-window flags: whole offset planes skip
+    # inside the kernel (sparse class tables leave most planes matchless)
+    nz = jnp.sum((lo <= hi).astype(jnp.int32), axis=-1)    # [G, K, K]
+
     kern = functools.partial(
         _conv_kernel,
         K=K, C=C, Cout=Cout, N=N, NQ=NQ, QW=QW, SLAB=SLAB)
@@ -310,6 +320,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
         kern,
         grid=(G,),
         in_specs=[
+            pl.BlockSpec((1, K, K), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
@@ -341,7 +353,7 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
             vmem_limit_bytes=int(os.environ.get("CAGROUP_VMEM_MB", 80))
             * 1024 * 1024),
         interpret=interpret,
-    )(lo, hi, keys_col, keys_row, featsb, w2)
+    )(nz, lo, hi, keys_col, keys_row, featsb, w2)
     ov = valid if qlat is None else qvalid
     return jnp.where(ov[..., None], out, 0.0)
 
@@ -387,48 +399,55 @@ def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
             def block(b, acc, dy=dy):
                 lo = lo_ref[0, dxi, dy, b]
                 hi = hi_ref[0, dxi, dy, b]
-                tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
-                ztkb = ztk_scr[pl.ds(b, 1), :]
-                s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
 
-                def cond(c):
-                    return jnp.logical_not(c[1])
+                def nonempty(acc, b=b, dy=dy, lo=lo, hi=hi):
+                    tkb = tk_scr[pl.ds(b, 1), :]      # [1, QW]
+                    ztkb = ztk_scr[pl.ds(b, 1), :]
+                    s0 = jnp.clip((lo - 8) & ~7,
+                                  0, N - SLAB).astype(jnp.int32)
 
-                def body(c):
-                    s, _, g, cov = c
-                    s = pl.multiple_of(s, 8)
-                    sk = keys_col_ref[0, pl.ds(s, SLAB), :]    # [SLAB, 1]
-                    zs = sk & zmask
-                    d = sk - tkb                               # [SLAB, QW]
-                    zdl = zs - ztkb
-                    fs = feats_ref[0, pl.ds(s, SLAB), :]       # [SLAB, C]
-                    fresh = (s + jax.lax.broadcasted_iota(
-                        jnp.int32, (SLAB, 1), 0)) >= cov
-                    q = jnp.where((d == zdl) & fresh, d,
-                                  jnp.int32(1 << 20))          # [SLAB, QW]
-                    gs = []
-                    for dz in range(-h, h + 1):
-                        e = (q == dz).astype(jnp.bfloat16)
-                        gs.append(jax.lax.dot_general(
-                            e, fs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))  # [QW, C]
-                    g = g + jnp.concatenate(gs, axis=1)        # [QW, K*C]
-                    done = (s + SLAB > hi) | (s >= N - SLAB)
-                    nxt = jnp.minimum(s + SLAB,
-                                      N - SLAB).astype(jnp.int32)
-                    return (nxt, done, g, s + SLAB)
+                    def cond(c):
+                        return jnp.logical_not(c[1])
 
-                _, _, g, _ = jax.lax.while_loop(
-                    cond, body,
-                    (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32),
-                     jnp.int32(-(1 << 29))))
-                qpos = pl.multiple_of(b * QW, _LANE)
-                gb = gout_ref[0, pl.ds(qpos, QW), :]           # [QW, Cout]
-                # transposed weight apply: [K*C, QW] @ [QW, Cout]
-                return acc + jax.lax.dot_general(
-                    g.astype(jnp.bfloat16), gb,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    def body(c):
+                        s, _, g, cov = c
+                        s = pl.multiple_of(s, 8)
+                        sk = keys_col_ref[0, pl.ds(s, SLAB), :]  # [SLAB, 1]
+                        zs = sk & zmask
+                        d = sk - tkb                             # [SLAB, QW]
+                        zdl = zs - ztkb
+                        fs = feats_ref[0, pl.ds(s, SLAB), :]     # [SLAB, C]
+                        fresh = (s + jax.lax.broadcasted_iota(
+                            jnp.int32, (SLAB, 1), 0)) >= cov
+                        q = jnp.where((d == zdl) & fresh, d,
+                                      jnp.int32(1 << 20))        # [SLAB, QW]
+                        gs = []
+                        for dz in range(-h, h + 1):
+                            e = (q == dz).astype(jnp.bfloat16)
+                            gs.append(jax.lax.dot_general(
+                                e, fs, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32))
+                        g = g + jnp.concatenate(gs, axis=1)      # [QW, K*C]
+                        done = (s + SLAB > hi) | (s >= N - SLAB)
+                        nxt = jnp.minimum(s + SLAB,
+                                          N - SLAB).astype(jnp.int32)
+                        return (nxt, done, g, s + SLAB)
+
+                    _, _, g, _ = jax.lax.while_loop(
+                        cond, body,
+                        (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32),
+                         jnp.int32(-(1 << 29))))
+                    qpos = pl.multiple_of(b * QW, _LANE)
+                    gb = gout_ref[0, pl.ds(qpos, QW), :]       # [QW, Cout]
+                    # transposed weight apply: [K*C, QW] @ [QW, Cout]
+                    return acc + jax.lax.dot_general(
+                        g.astype(jnp.bfloat16), gb,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                # empty rank window: skip walk AND matmul (same gate as
+                # the forward kernel; most windows are empty for k9)
+                return jax.lax.cond(lo <= hi, nonempty, lambda a: a, acc)
 
             acc = jax.lax.fori_loop(
                 0, NB, block, jnp.zeros((K * C, Cout), jnp.float32))
