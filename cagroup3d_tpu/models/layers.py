@@ -194,9 +194,50 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
     return st.with_feats(jnp.where(st.valid[:, None], f, 0.0))
 
 
+def _use_mxu_at(src: SparseTensor, ctx: Ctx, k: int, cout: int,
+                q_cap: int) -> bool:
+    """MXU gate for the conv-at-coords form (strided ``down`` convs):
+    eval-only (the custom-vjp backward is exercised elsewhere; training
+    keeps the scatter-free tnbr path that the scan/vmap machinery is
+    tuned for), un-folded only (the folded table layout is the subm
+    kernel's)."""
+    import os
+
+    import jax
+    from ..ops.pallas_conv import mxu_conv_vmem_bytes
+    need = mxu_conv_vmem_bytes(src.cap, src.num_channels, cout, k,
+                               NQ=q_cap)
+    return (os.environ.get("CAGROUP_MXU_AT", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and not ctx.train
+            and not getattr(ctx, "scene_fold", False)
+            and k % 2 == 1
+            and src.cap % 128 == 0 and src.cap >= 192
+            and q_cap % 128 == 0
+            and need <= _MXU_VMEM_BUDGET_EVAL)
+
+
 def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
          factor: int, cap: int) -> SparseTensor:
     out = reduce_coords(ctx, st, factor, cap)
+    w = params[path + ".kernel"]
+    if k % 2 == 1 and k >= 3 and _use_mxu_at(st, ctx, k, w.shape[-1],
+                                             out.cap):
+        # MXU conv-at-coords: queries are the reduced coords scaled onto
+        # the source lattice (out.coords are multiples of stride*factor,
+        # so // stride is an order-preserving lattice scaling — the
+        # unique_voxels sort survives and the kernel's sorted-query
+        # contract holds).
+        from ..ops.pallas_conv import conv_at_coords_mxu
+        qlat = jnp.floor_divide(out.coords, st.stride)
+        f = conv_at_coords_mxu(st.coords, st.valid, st.masked_feats(),
+                               st.stride, qlat, out.valid, k, w)
+        b = params.get(path + ".bias")
+        if b is not None:
+            f = f + b
+        return SparseTensor(out.coords,
+                            jnp.where(out.valid[:, None], f, 0.0),
+                            out.valid, out.stride)
     offs = conv_offsets(k, st.stride)
     if k % 2 == 1:
         nbr = _nbr_odd(ctx, st, out.coords, out.valid, k)

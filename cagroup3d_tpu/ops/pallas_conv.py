@@ -358,10 +358,15 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
     return jnp.where(ov[..., None], out, 0.0)
 
 
-def mxu_conv_vmem_bytes(N, C, Cout, K):
-    """Rough VMEM working set of the fused conv (double-buffered blocks)."""
+def mxu_conv_vmem_bytes(N, C, Cout, K, NQ=None):
+    """Rough VMEM working set of the fused conv (double-buffered blocks).
+
+    NQ: separate query count for the conv-at-coords form (the out block
+    scales with the query table, not the source table)."""
+    if NQ is None:
+        NQ = N
     return (2 * N * C * 2          # feats bf16, double-buffered
-            + 2 * N * Cout * 4     # out f32, double-buffered
+            + 2 * NQ * Cout * 4    # out f32, double-buffered
             + 2 * K ** 3 * C * Cout * 2  # weight block (full dx axis)
             + N * 8 + _LANE * 8 * 4)
 

@@ -145,6 +145,39 @@ def test_multislab_tail_clamp_no_double_count():
         hashing.set_key_bits(*old)
 
 
+def test_down_routes_to_conv_at_coords(monkeypatch):
+    """layers.down's MXU routing (strided source, queries = reduced
+    coords scaled back onto the source lattice) against the XLA gather
+    path it replaces."""
+    from cagroup3d_tpu.core.module import Ctx
+    from cagroup3d_tpu.core.sparse import SparseTensor
+    from cagroup3d_tpu.core.voxelize import unique_voxels
+    from cagroup3d_tpu.models import layers
+
+    rs = np.random.RandomState(7)
+    P, C, CAP, OCAP = 900, 32, 512, 256
+    stride = 2
+    lat = rs.randint(0, 10, (P, 3)).astype(np.int32)
+    feats = rs.randn(P, C).astype(np.float32)
+    valid = rs.rand(P) > 0.2
+    ded, _ = unique_voxels(jnp.asarray(lat), jnp.asarray(feats),
+                           jnp.asarray(valid), CAP, mode="mean")
+    st = SparseTensor(jnp.where(ded.valid[:, None],
+                                ded.coords * stride, ded.coords),
+                      ded.feats, ded.valid, stride)
+    params = {"d.kernel": jnp.asarray(
+        rs.randn(27, C, C).astype(np.float32) * 0.1),
+        "d.bias": jnp.asarray(rs.randn(C).astype(np.float32) * 0.1)}
+
+    ref = layers.down(params, Ctx(train=False), "d", st, 3, 2, OCAP)
+    monkeypatch.setattr(layers, "_use_mxu_at", lambda *a, **k: True)
+    out = layers.down(params, Ctx(train=False), "d", st, 3, 2, OCAP)
+    assert out.stride == ref.stride == stride * 2
+    err = np.abs(np.asarray(out.feats) - np.asarray(ref.feats)).max() / \
+        (np.abs(np.asarray(ref.feats)).max() + 1e-9)
+    assert err < 2e-2, err
+
+
 def test_conv_at_coords_matches_xla():
     """conv-at-coords variant (queries != table; the RoI head's
     grid_conv) against scan_conv_grouped."""
