@@ -11,6 +11,7 @@ beyond ``cap`` uniques are dropped deterministically (largest keys first).
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -380,6 +381,31 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     of_fine = jnp.maximum(n_unique_f - cap_fine, 0)        # [G]
     if stats is not None:
         stats["overflow/head_fine"] = jnp.sum(of_fine)
+    if (drop_offset is None and jax.default_backend() == "tpu"
+            and P % 256 == 0 and cap_fine % 8 == 0
+            and os.environ.get("CAGROUP_SEGSUM", "1") != "0"):
+        # eval fast path: one-pass Pallas segmented sum over the sorted
+        # rows (ops/pallas_segsum.py) replaces the f32 two-level prefix
+        # scan + rank-search gathers below; identity window only (the
+        # training cyclic drop window emits non-consecutive ranks)
+        from ..ops.pallas_segsum import sorted_segment_sums
+        f_sum, f_cnt = sorted_segment_sums(
+            sk, feats_s.reshape(G, P, F), cap_fine)
+        f_valid = f_cnt > 0
+        # first row of segment j = #rows of segments < j (sorted layout)
+        start = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.int32),
+             jnp.cumsum(f_cnt, axis=1)[:, :-1]], axis=1)
+        f_coords = jnp.take_along_axis(
+            lat_s, jnp.clip(start, 0, P - 1)[..., None], axis=1)
+        f_coords = jnp.where(f_valid[..., None], f_coords, PAD_COORD)
+        f_feats = jnp.where(
+            f_valid[..., None],
+            f_sum / jnp.maximum(f_cnt, 1)[..., None], 0.0)
+        return _paired_coarse(
+            G, F, cap_fine, cap_coarse, coarse_factor, stats,
+            return_stats, of_fine, f_coords, f_feats, f_valid, f_sum,
+            f_cnt)
     # per-voxel row ranges by RANK COUNTING on the (non-decreasing) uid
     # sequence instead of head/tail scatters: three 1.2M-row scatters
     # become two 74k-row block gathers (scatter/gather cost on TPU is
@@ -406,9 +432,6 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     f_coords = jnp.take_along_axis(
         lat_s, jnp.clip(start, 0, P - 1)[..., None], axis=1)
     f_coords = jnp.where((f_cnt > 0)[..., None], f_coords, PAD_COORD)
-    localf = local.reshape(G * P, F)
-    chofff = choff.reshape(G * NCH, F)
-
     localg = local.reshape(G, P, F)
 
     def prefix_at(p):
@@ -428,7 +451,17 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
         f_valid[..., None],
         f_sum / jnp.maximum(f_cnt, 1)[..., None], 0.0)
 
-    # ---- coarse map from the fine map (count-weighted means) ----
+    return _paired_coarse(G, F, cap_fine, cap_coarse, coarse_factor,
+                          stats, return_stats, of_fine, f_coords,
+                          f_feats, f_valid, f_sum, f_cnt)
+
+
+def _paired_coarse(G, F, cap_fine, cap_coarse, coarse_factor, stats,
+                   return_stats, of_fine, f_coords, f_feats, f_valid,
+                   f_sum, f_cnt):
+    """Coarse (expand) map from the fine map: count-weighted means over
+    the ``coarse_factor``-reduced lattice (shared by the XLA and the
+    Pallas-segsum fine paths of unique_voxels_classes_paired)."""
     lat_c = jnp.floor_divide(f_coords, coarse_factor)
     keys_c = pack_coords(lat_c, f_valid)
     order2 = jnp.argsort(keys_c, axis=1).astype(jnp.int32)

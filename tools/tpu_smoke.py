@@ -108,6 +108,39 @@ def main():
         st.coords, st.valid, st.feats, qded.coords, qded.valid)
     check("conv_at_coords_fwd_k5", _rel_err(out, ref), 2e-2)
 
+    # sorted-run segment sums (the head's fine-map fast path)
+    from cagroup3d_tpu.core.hashing import INVALID_KEY, pack_coords
+    from cagroup3d_tpu.ops.pallas_segsum import sorted_segment_sums
+    G3, P3, F3, cap3 = 4, 2048, 64, 256
+    lat3 = rs.randint(0, 12, (G3, P3, 3)).astype(np.int32)
+    v3 = rs.rand(G3, P3) > 0.2
+    f3 = rs.randn(G3, P3, F3).astype(np.float32)
+    keys3 = np.asarray(pack_coords(jnp.asarray(lat3), jnp.asarray(v3)))
+    order3 = np.argsort(keys3, axis=1, kind="stable")
+    sk3 = np.take_along_axis(keys3, order3, axis=1)
+    fs3 = np.take_along_axis(f3, order3[..., None], axis=1)
+    fs3[sk3 == int(INVALID_KEY)] = 0.0
+    out3, cnt3 = jax.jit(lambda k, f: sorted_segment_sums(k, f, cap3))(
+        jnp.asarray(sk3), jnp.asarray(fs3))
+    # XLA oracle: bf16 one-hot segment sums over the same sorted rows
+    skj = jnp.asarray(sk3)
+    head3 = jnp.concatenate(
+        [jnp.ones((G3, 1), bool), skj[:, 1:] != skj[:, :-1]], axis=1)
+    ok3 = skj != INVALID_KEY
+    uid3 = jnp.cumsum((head3 & ok3).astype(jnp.int32), axis=1) - 1
+    seg3 = jnp.where(ok3 & (uid3 < cap3), uid3, cap3) + \
+        (jnp.arange(G3, dtype=jnp.int32) * (cap3 + 1))[:, None]
+    rsum = jnp.zeros((G3 * (cap3 + 1), F3), jnp.float32).at[
+        seg3.reshape(-1)].add(
+            jnp.asarray(fs3).astype(jnp.bfloat16).astype(jnp.float32)
+            .reshape(-1, F3)).reshape(G3, cap3 + 1, F3)[:, :cap3]
+    rcnt = jnp.zeros((G3 * (cap3 + 1),), jnp.int32).at[
+        seg3.reshape(-1)].add(ok3.astype(jnp.int32).reshape(-1)
+                              ).reshape(G3, cap3 + 1)[:, :cap3]
+    check("segsum_fwd", _rel_err(out3, rsum), 2e-2)
+    check("segsum_cnt", float((np.asarray(cnt3) !=
+                               np.asarray(rcnt)).sum()), 1)
+
     status = "FAIL" if failed else "PASS"
     print(json.dumps({"smoke": status, "backend": backend,
                       "n_checks": len(checks)}))
