@@ -24,7 +24,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1200)
+    # 2400: measured 1.0 mAP@0.25 (1200 plateaus at ~0.897, under the
+    # 0.9 gate)
+    ap.add_argument("--steps", type=int, default=2400)
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--scenes", type=int, default=10)
@@ -122,22 +124,35 @@ def main():
                   steps=args.steps, overflow=ovf, ok=bool(ok))
 
     if args.ab:
-        # same trained weights, capacities tightened until voxels are
-        # actually dropped: quantifies the overflow-drop policy's mAP
-        # cost (params are capacity-independent, so P/S transfer as-is)
+        # same trained weights, capacities LOOSENED until nothing is
+        # dropped: the mAP delta between the overflowing default run and
+        # the no-overflow run is the drop policy's true cost (params are
+        # capacity-independent, so P/S transfer as-is).  Requires the
+        # default run to have actually dropped voxels, else the A/B is
+        # vacuous.
         import copy
-        tight = copy.deepcopy(cfg)
-        tight.INPUT_CAP = 256
-        tight.BACKBONE_3D.CAPS = {k: max(8, v // 4)
+        loose = copy.deepcopy(cfg)
+        loose.INPUT_CAP = 2048
+        loose.BACKBONE_3D.CAPS = {k: v * 2
                                   for k, v in model.backbone_3d.caps.items()}
-        tight.DENSE_HEAD.FINE_CAP = 256
-        tight.DENSE_HEAD.EXPAND_CAP = 128
-        model_t = build_network(tight, num_class=n_cls)
-        t25, t50, t_ovf = evaluate(model_t)
-        delta = m25 - t25
-        ab_ok = t_ovf > 0 and delta <= args.ab_budget
-        result.update(ab_map25=round(t25, 4), ab_map50=round(t50, 4),
-                      ab_overflow=t_ovf, ab_delta=round(delta, 4),
+        # EXPAND_CAP must absorb the x27 neighborhood expansion (the
+        # dominant dropper: unique coarse voxels can approach 27x the
+        # fine selection); GRID_CAP must absorb all RoI grid queries
+        # (MAX_ROIS x GRID_SIZE^3) — together these make the loose arm
+        # near-drop-free
+        loose.DENSE_HEAD.FINE_CAP = 4096
+        loose.DENSE_HEAD.EXPAND_CAP = 16384
+        loose.ROI_HEAD.GRID_CAP = 16384
+        model_l = build_network(loose, num_class=n_cls)
+        l25, l50, l_ovf = evaluate(model_l)
+        delta = l25 - m25
+        # valid A/B: the default arm actually drops, the loose arm is
+        # (near-)drop-free, and the mAP moves less than the budget
+        ab_ok = ovf > 0 and l_ovf < 0.05 * ovf \
+            and abs(delta) <= args.ab_budget
+        result.update(ab_loose_map25=round(l25, 4),
+                      ab_loose_map50=round(l50, 4),
+                      ab_loose_overflow=l_ovf, ab_delta=round(delta, 4),
                       ab_budget=args.ab_budget, ab_ok=bool(ab_ok))
         ok = ok and ab_ok
 
