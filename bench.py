@@ -76,6 +76,9 @@ def main():
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+        # cold-compile budget is tracked per round (VERDICT r4 #5);
+        # 0.0 when the persistent cache was warm
+        "compile_s": round(compile_s, 1),
     }))
     print(f"# latency {dt*1e3:.1f} ms/scene, compile {compile_s:.1f} s, "
           f"input_cap={input_cap}, fine_cap={fine_cap}", file=sys.stderr)

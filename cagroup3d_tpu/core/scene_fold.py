@@ -138,19 +138,19 @@ def _subm_single_mxu(kernel_size: int, stride: int):
 
 @lru_cache(maxsize=None)
 def _paired_maps(cap_fine: int, cap_coarse: int, factor: int,
-                 with_drop: bool):
+                 with_drop: bool, train: bool = False):
     from .voxelize import unique_voxels_classes_paired as raw
 
     if with_drop:
         @custom_vmap
         def f(lat, feats, sel, drop):
             return raw(lat, feats, sel, cap_fine, cap_coarse, factor,
-                       drop_offset=drop, return_stats=True)
+                       drop_offset=drop, return_stats=True, train=train)
     else:
         @custom_vmap
         def f(lat, feats, sel):
             return raw(lat, feats, sel, cap_fine, cap_coarse, factor,
-                       return_stats=True)
+                       return_stats=True, train=train)
 
     @f.def_vmap
     def rule(axis_size, in_batched, lat, feats, sel, *rest):
@@ -171,7 +171,8 @@ def _paired_maps(cap_fine: int, cap_coarse: int, factor: int,
             _fold(lat, B, lb),
             feats.reshape((B * feats.shape[1],) + feats.shape[2:]),
             _fold(sel, B, sb), cap_fine, cap_coarse, factor,
-            drop_offset=drop, feats_groups=B, return_stats=True)
+            drop_offset=drop, feats_groups=B, return_stats=True,
+            train=train)
 
         def unf(x):
             return x.reshape((B, G) + x.shape[1:])
@@ -186,17 +187,19 @@ def _paired_maps(cap_fine: int, cap_coarse: int, factor: int,
 
 
 def folded_paired_maps(lat, feats, sel, cap_fine, cap_coarse, factor,
-                       drop_offset=None):
+                       drop_offset=None, train: bool = False):
     """unique_voxels_classes_paired with scene-vmap folding: the head's
     fine+expand map build runs over B*n_cls flat tables with one sort.
     Returns (fine triple, coarse triple, (of_fine [G], of_coarse [G]))
     — per-group overflow counts instead of the stats-dict side channel
-    (dicts can't cross the custom_vmap boundary)."""
+    (dicts can't cross the custom_vmap boundary).  ``train`` must be
+    the caller's ctx.train: it disables the VJP-less Pallas segsum
+    fast path inside the raw builder."""
     if drop_offset is not None:
         return _paired_maps(int(cap_fine), int(cap_coarse), int(factor),
-                            True)(lat, feats, sel, drop_offset)
+                            True, bool(train))(lat, feats, sel, drop_offset)
     return _paired_maps(int(cap_fine), int(cap_coarse), int(factor),
-                        False)(lat, feats, sel)
+                        False, bool(train))(lat, feats, sel)
 
 
 def folded_subm_single_mxu(coords, valid, feats, w, kernel_size,

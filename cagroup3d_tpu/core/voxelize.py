@@ -313,7 +313,8 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
                                  cap_coarse: int, coarse_factor: int,
                                  stats: dict = None, drop_offset=None,
                                  feats_groups: int = 0,
-                                 return_stats: bool = False):
+                                 return_stats: bool = False,
+                                 train: bool = False):
     """Build the fine map AND its ``coarse_factor``-times-coarser map with
     one FULL-SIZE sort (the dense head's per-class fine + expand
     re-voxelizations, cagroup_head.py:257-271).
@@ -381,7 +382,14 @@ def unique_voxels_classes_paired(lat: jnp.ndarray, feats: jnp.ndarray,
     of_fine = jnp.maximum(n_unique_f - cap_fine, 0)        # [G]
     if stats is not None:
         stats["overflow/head_fine"] = jnp.sum(of_fine)
-    if (drop_offset is None and jax.default_backend() == "tpu"
+    # The Pallas segsum kernel has no VJP, so the fast path is EVAL
+    # ONLY.  ``train`` is the explicit gate (threaded from the head's
+    # ctx.train); drop_offset-is-None alone used to stand in for it,
+    # which would route a future differentiated caller that merely
+    # omits drop_offset into a trace-time pallas_call failure far from
+    # the cause (round-4 ADVICE).
+    if (not train and drop_offset is None
+            and jax.default_backend() == "tpu"
             and P % 256 == 0 and cap_fine % 8 == 0
             and os.environ.get("CAGROUP_SEGSUM", "1") != "0"):
         # eval fast path: one-pass Pallas segmented sum over the sorted

@@ -221,6 +221,31 @@ def eval_map_recall(pred, gt, ovthresh):
     return recall, precision, ap
 
 
+def _ascii_table(header, rows, footing_rows=1):
+    """terminaltables.AsciiTable-compatible rendering (the reference's
+    report formatter, scannet_object_eval_python/eval.py:328-331, with
+    inner_footing_row_border=True): grid borders, left-aligned cells,
+    a separator line before the last ``footing_rows`` rows."""
+    data = [list(map(str, header))] + [list(map(str, r)) for r in rows]
+    widths = [max(len(r[c]) for r in data) for c in range(len(header))]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+
+    def fmt(row):
+        return "| " + " | ".join(c.ljust(w) for c, w in zip(row, widths)) \
+            + " |"
+
+    lines = [sep, fmt(data[0]), sep]
+    body, foot = data[1:], []
+    if footing_rows and len(body) > footing_rows:
+        body, foot = body[:-footing_rows], body[-footing_rows:]
+    lines += [fmt(r) for r in body]
+    if foot:
+        lines.append(sep)
+        lines += [fmt(r) for r in foot]
+    lines.append(sep)
+    return "\n".join(lines)
+
+
 def indoor_eval(gt_annos, dt_annos, metric, label2cat, logger=None):
     assert len(dt_annos) == len(gt_annos)
     pred, gt = {}, {}
@@ -247,27 +272,29 @@ def indoor_eval(gt_annos, dt_annos, metric, label2cat, logger=None):
 
     rec, prec, ap = eval_map_recall(pred, gt, metric)
     ret = {}
-    lines = ["classes    " + "  ".join(
-        f"AP_{t:.2f}  AR_{t:.2f}" for t in metric)]
+    # per-class AP/AR table in the reference's exact report shape
+    # (eval.py:296-332): header [classes, AP_t, AR_t, ...], one row per
+    # class, Overall (mAP/mAR) footing row behind a border
+    header = ["classes"]
+    labels = list(ap[0].keys()) if ap else []
+    table_columns = [[label2cat[lab] for lab in labels] + ["Overall"]]
     for i, t in enumerate(metric):
+        header += [f"AP_{t:.2f}", f"AR_{t:.2f}"]
         for label in ap[i]:
             ret[f"{label2cat[label]}_AP_{t:.2f}"] = float(ap[i][label][0])
         ret[f"mAP_{t:.2f}"] = float(np.mean([v[0] for v in ap[i].values()])) \
             if ap[i] else 0.0
+        table_columns.append(
+            [f"{float(ap[i][lab][0]):.4f}" for lab in labels]
+            + [f"{ret[f'mAP_{t:.2f}']:.4f}"])
         rec_list = []
         for label in rec[i]:
             ret[f"{label2cat[label]}_rec_{t:.2f}"] = float(rec[i][label][-1])
             rec_list.append(rec[i][label][-1])
         ret[f"mAR_{t:.2f}"] = float(np.mean(rec_list)) if rec_list else 0.0
-    for label in sorted(set().union(*[set(a.keys()) for a in ap])
-                        if ap else []):
-        row = f"{label2cat[label]:<12}"
-        for i, t in enumerate(metric):
-            row += f"  {float(ap[i][label][0]):.4f}  " \
-                   f"{float(rec[i][label][-1]):.4f}"
-        lines.append(row)
-    summary = "\n".join(lines + [
-        "  ".join(f"mAP_{t:.2f}={ret[f'mAP_{t:.2f}']:.4f} "
-                  f"mAR_{t:.2f}={ret[f'mAR_{t:.2f}']:.4f}" for t in metric)])
+        table_columns.append(
+            [f"{float(rec[i][lab][-1]):.4f}" for lab in labels]
+            + [f"{ret[f'mAR_{t:.2f}']:.4f}"])
+    summary = _ascii_table(header, list(zip(*table_columns)))
     (logger.info if logger else print)("\n" + summary)
     return ret

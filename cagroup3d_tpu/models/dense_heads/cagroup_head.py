@@ -220,7 +220,8 @@ class CAGroup3DHead:
                           vox_sizes[:, None, :]).astype(jnp.int32)
         (fc, ff, fv), (cc, cf, cv), (of_f, of_c) = folded_paired_maps(
             lat_f, feats_all, sel_t, self.fine_cap, self.expand_cap,
-            self.expand, drop_offset=getattr(ctx, "drop_offset", None))
+            self.expand, drop_offset=getattr(ctx, "drop_offset", None),
+            train=ctx.train)
         ctx.stats["overflow/head_fine"] = jnp.sum(of_f)
         ctx.stats["overflow/head_expand"] = jnp.sum(of_c)
         fine = SparseTensor(fc, ff, fv, 1)

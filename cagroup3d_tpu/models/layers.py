@@ -147,9 +147,23 @@ def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
         # 32768-row stride-2 table can never fit — 48M excludes it and
         # keeps the <=16384-row backbone + head tables on the kernel.
         need *= 2
-    budget = (48 * 1024 * 1024 if ctx.train else _MXU_VMEM_BUDGET_EVAL) \
-        if (not ctx.train or getattr(ctx, "scene_fold", False)) \
-        else _MXU_VMEM_BUDGET_TRAIN
+    if ctx.train and not getattr(ctx, "scene_fold", False):
+        # non-folded (plain-vmap) training: the 26M constant was derived
+        # BEFORE the x2 charge above existed; doubling the budget keeps
+        # the effective un-doubled threshold at 26M so e.g. the ~15M k9
+        # head tables stay on the MXU kernel (round-4 ADVICE).
+        budget = 2 * _MXU_VMEM_BUDGET_TRAIN
+    else:
+        budget = 48 * 1024 * 1024 if ctx.train else _MXU_VMEM_BUDGET_EVAL
+    # The kernel compiles with scoped vmem limited to CAGROUP_VMEM_MB
+    # (ops/pallas_conv.py); keep the routing gate under that limit minus
+    # the observed Mosaic DMA slack (~28M at the default 80M limit,
+    # where the 52M eval budget is the measured-working ceiling), so a
+    # lowered env limit falls back to XLA instead of failing Mosaic
+    # compilation (round-4 ADVICE).
+    import os
+    limit = int(os.environ.get("CAGROUP_VMEM_MB", 80)) * 1024 * 1024
+    budget = min(budget, limit - 28 * 1024 * 1024)
     return (jax.default_backend() == "tpu"
             and (not ctx.train or getattr(ctx, "mxu_train", False))
             and k % 2 == 1
@@ -207,6 +221,11 @@ def _use_mxu_at(src: SparseTensor, ctx: Ctx, k: int, cout: int,
     from ..ops.pallas_conv import mxu_conv_vmem_bytes
     need = mxu_conv_vmem_bytes(src.cap, src.num_channels, cout, k,
                                NQ=q_cap)
+    # same clamp as _use_mxu: never admit a table the CAGROUP_VMEM_MB
+    # scoped-vmem compiler limit (minus observed Mosaic DMA slack)
+    # could reject at compile time
+    limit = int(os.environ.get("CAGROUP_VMEM_MB", 80)) * 1024 * 1024
+    budget = min(_MXU_VMEM_BUDGET_EVAL, limit - 28 * 1024 * 1024)
     return (os.environ.get("CAGROUP_MXU_AT", "1") != "0"
             and jax.default_backend() == "tpu"
             and not ctx.train
@@ -214,7 +233,7 @@ def _use_mxu_at(src: SparseTensor, ctx: Ctx, k: int, cout: int,
             and k % 2 == 1
             and src.cap % 128 == 0 and src.cap >= 192
             and q_cap % 128 == 0
-            and need <= _MXU_VMEM_BUDGET_EVAL)
+            and need <= budget)
 
 
 def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,

@@ -144,6 +144,35 @@ class TestIndoorEval:
         ret = indoor_eval(gt_annos, dt_annos, [0.25], {0: "c0"})
         assert ret["mAP_0.25"] == pytest.approx(0.0)
 
+    def test_report_is_reference_shaped_ascii_table(self, capsys):
+        """Per-class AP/AR report structurally matches the reference's
+        AsciiTable (scannet_object_eval_python/eval.py:296-331): grid
+        borders, classes/AP/AR header, one row per class, Overall
+        footing row behind its own border."""
+        gt_annos = [dict(gt_num=2,
+                         gt_boxes_upright_depth=np.array(
+                             [[0, 0, 0, 1, 1, 1, 0],
+                              [3, 3, 0, 1, 1, 1, 0]], np.float32),
+                         **{"class": np.array([0, 1])})]
+        dt_annos = [dict(labels_3d=np.array([0, 1]),
+                         boxes_3d=np.array([[0, 0, 0, 1, 1, 1, 0],
+                                            [3, 3, 0, 1, 1, 1, 0]],
+                                           np.float32),
+                         scores_3d=np.array([0.9, 0.8]))]
+        indoor_eval(gt_annos, dt_annos, [0.25, 0.5],
+                    {0: "chair", 1: "table"})
+        out = capsys.readouterr().out
+        lines = [ln for ln in out.splitlines() if ln.strip()]
+        assert lines[0].startswith("+-") and lines[0].endswith("-+")
+        assert lines[1].split("|")[1:6] == [
+            " classes ", " AP_0.25 ", " AR_0.25 ", " AP_0.50 ", " AR_0.50 "]
+        assert any("chair" in ln for ln in lines)
+        assert any("table" in ln for ln in lines)
+        # Overall row is the footing row: border line directly above it
+        ov = next(i for i, ln in enumerate(lines) if "Overall" in ln)
+        assert lines[ov - 1].startswith("+-")
+        assert lines[ov + 1].startswith("+-")
+
 
 def test_rank_sharded_eval_merge_matches_single_process():
     """Loader rank-sharding + merge_results_dist must reproduce the

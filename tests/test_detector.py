@@ -56,7 +56,7 @@ def tiny_cfg(n_classes=4, with_yaw=False):
     ))
 
 
-def synthetic_batch(rng, B=2, P=1200, G=8, n_classes=4):
+def synthetic_batch(rng, B=2, P=1200, G=8, n_classes=4, yaw=False):
     pts = np.zeros((B, P, 6), np.float32)
     pvalid = np.zeros((B, P), bool)
     gt = np.zeros((B, G, 8), np.float32)
@@ -69,15 +69,22 @@ def synthetic_batch(rng, B=2, P=1200, G=8, n_classes=4):
         n_obj = 3
         centers = rng.rand(n_obj, 3) * 2 + 0.5
         sizes = rng.rand(n_obj, 3) * 0.5 + 0.3
+        angles = (rng.rand(n_obj) - 0.5) * np.pi if yaw \
+            else np.zeros(n_obj)
         per = n // (n_obj + 1)
         for i in range(n_obj):
             lo = i * per
-            pts[b, lo:lo + per, :3] = centers[i] + (rng.rand(per, 3) - 0.5) \
-                * sizes[i]
+            local = (rng.rand(per, 3) - 0.5) * sizes[i]
+            if yaw:   # rotate the box-shaped cluster about z by its yaw
+                c, s = np.cos(angles[i]), np.sin(angles[i])
+                local = local @ np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]],
+                                         np.float32).T
+            pts[b, lo:lo + per, :3] = centers[i] + local
             sem[b, lo:lo + per] = i % n_classes
             ins[b, lo:lo + per] = i + 1
             gt[b, i, :3] = centers[i]
             gt[b, i, 3:6] = sizes[i]
+            gt[b, i, 6] = angles[i]
             gt[b, i, 7] = i % n_classes
             gt_valid[b, i] = True
         pts[b, n_obj * per:n, :3] = rng.rand(n - n_obj * per, 3) * 3

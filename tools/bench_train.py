@@ -4,7 +4,7 @@ costs ~10x in handle round trips).  The batch MUST be a jit argument —
 closed-over literals are corrupted by the remote compile path (see
 .claude/skills/verify/SKILL.md).
 
-Usage: python tools/bench_train.py [CAP=65536] [FCAP=4096] [MXU_TRAIN=1]
+Usage: python tools/bench_train.py [B=2] [CAP=65536] [FCAP=4096] [MXU_TRAIN=1]
 Prints one line: train_step_ms.
 """
 import os
@@ -28,6 +28,7 @@ def main():
     from __graft_entry__ import _build_model
     from cagroup3d_tpu.utils.synthetic import synthetic_batch
 
+    B = int(os.environ.get("B", 2))
     cap = int(os.environ.get("CAP", 65536))
     fcap = int(os.environ.get("FCAP", 4096))
     model = _build_model(tiny=False, input_cap=cap, fine_cap=fcap)
@@ -35,7 +36,7 @@ def main():
         model.model_cfg.MXU_TRAIN = os.environ["MXU_TRAIN"] == "1"
     P, S = jax.jit(model.init)(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
-    b = synthetic_batch(rng, batch_size=2, n_points=100_000,
+    b = synthetic_batch(rng, batch_size=B, n_points=100_000,
                         point_cap=100_000)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     tx = optax.chain(optax.clip_by_global_norm(10.0),
@@ -71,7 +72,7 @@ def main():
     t0 = time.time()
     loss = float(run(P, S, opt, keys, batch))
     dt = (time.time() - t0) / nstep
-    print(f"train_step_ms={dt*1e3:.0f} caps={cap}/{fcap} B=2")
+    print(f"train_step_ms={dt*1e3:.0f} caps={cap}/{fcap} B={B}")
 
 
 if __name__ == "__main__":
