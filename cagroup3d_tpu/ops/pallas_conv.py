@@ -97,7 +97,8 @@ def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
 
     def dx_body(dxi, _):
         dxo = dxi - h
-        for dy in range(K):
+
+        def dy_body(dy, _, dxi=dxi, dxo=dxo):
             dyo = dy - h
             delta = dxo * (1 << sx) + dyo * (1 << sy)
 
@@ -119,65 +120,79 @@ def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
             def _gather_apply(dxi, dy, b, lo, hi):
                 tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
                 ztkb = ztk_scr[pl.ds(b, 1), :]
-                s0 = jnp.clip((lo - 8) & ~7, 0, N - SLAB).astype(jnp.int32)
+                s0 = jnp.maximum((lo - 8) & ~7, 0).astype(jnp.int32)
 
-                def cond(c):
-                    return jnp.logical_not(c[1])
+                # Per-dz TARGET keys, hoisted out of the slab walk:
+                # query q's dz-neighbor key is tk + dz, valid iff the z
+                # digit stays inside its field (the same query-side range
+                # check as the XLA path, core/sparse_conv.py) — borrows
+                # can then never alias another (x, y) column, so the walk
+                # needs NO per-element z-digit verification.  This
+                # replaces the former d/zs/zdl/select machinery (5 full
+                # [SLAB, QW] VPU passes per slab) with [1, QW] setup here
+                # and a single broadcast compare per dz in the walk.
+                # NOTE: the compares must stay i32 — v5e Mosaic vector
+                # compares are 32-bit only (i16 cmpi and bf16 cmpf both
+                # fail to lower; round-4 finding).
+                tkd = []
+                for dz in range(-h, h + 1):
+                    zv = (ztkb + dz >= 0) & (ztkb + dz < ez)
+                    tkd.append(jnp.where(zv, tkb + dz, -(1 << 29)))
 
-                def body(c):
-                    s, _, g, cov = c
-                    # s is 8-aligned by construction (s0 masked, += SLAB,
-                    # min with N-SLAB); Mosaic needs the hint to load
-                    s = pl.multiple_of(s, 8)
+                def slab_tile(s):
+                    """One slab's gathered [QW, K*C] tile (dz-major)."""
                     sk = keys_col_ref[0, pl.ds(s, SLAB), :]    # [SLAB, 1]
-                    zs = sk & zmask
-                    d = sk - tkb                               # [SLAB, QW]
-                    zdl = zs - ztkb
                     fs = feats_ref[0, pl.ds(s, SLAB), :]       # [SLAB, C]
-                    # rows below `cov` were handled by the previous slab;
-                    # the final slab clamps to N-SLAB and may overlap it,
-                    # so mask them or their matches double-count
-                    fresh = (s + jax.lax.broadcasted_iota(
-                        jnp.int32, (SLAB, 1), 0)) >= cov
-                    # shared selector: genuine z-neighbor iff the packed
-                    # key and the z digit move by the same dz (rejects
-                    # borrows across the z field).  One select up front,
-                    # then a single equality compare per dz keeps the
-                    # one-hot generation off the VPU critical path (the
-                    # matmuls themselves are only ~40% of kernel time).
-                    # NOTE: the dz compares must stay i32.  Both sub-word
-                    # narrows were tried to cut VPU vreg traffic and BOTH
-                    # fail to lower on v5e Mosaic with "Target does not
-                    # support this comparison": i16 vector cmpi AND bf16
-                    # vector cmpf — v5e vector compares are 32-bit only.
-                    # (The i16 one-sided clamp was also unsound for
-                    # ZBITS >= 15: a -65535 delta wraps to +1.)
-                    q = jnp.where((d == zdl) & fresh, d,
-                                  jnp.int32(1 << 20))          # [SLAB, QW]
                     gs = []
-                    for dz in range(-h, h + 1):
-                        e = (q == dz).astype(jnp.bfloat16)
+                    for dzi in range(K):
+                        e = (sk == tkd[dzi]).astype(jnp.bfloat16)
                         gs.append(jax.lax.dot_general(
                             e, fs, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32))  # [QW, C]
-                    g = g + jnp.concatenate(gs, axis=1)        # [QW, K*C]
-                    done = (s + SLAB > hi) | (s >= N - SLAB)
-                    nxt = jnp.minimum(s + SLAB,
-                                      N - SLAB).astype(jnp.int32)
-                    return (nxt, done, g, s + SLAB)
+                    return jnp.concatenate(gs, axis=1)         # [QW, K*C]
 
-                _, _, g, _ = jax.lax.while_loop(
-                    cond, body,
-                    (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32),
-                     jnp.int32(-(1 << 29))))
-                # fused weight apply: [128, K*C] @ [K*C, Cout]
-                # (dz-major rows)
-                contrib = jax.lax.dot_general(
-                    g.astype(jnp.bfloat16), w_ref[0, dxi, dy],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                q = pl.multiple_of(b * QW, _LANE)
-                out_ref[0, pl.ds(q, QW), :] += contrib
+                def apply_w(g):
+                    # fused weight apply: [128, K*C] @ [K*C, Cout]
+                    # (dz-major rows)
+                    contrib = jax.lax.dot_general(
+                        g.astype(jnp.bfloat16), w_ref[0, dxi, dy],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    q = pl.multiple_of(b * QW, _LANE)
+                    out_ref[0, pl.ds(q, QW), :] += contrib
+
+                # Dense submanifold tables put a block's whole window in
+                # ONE slab almost always; straight-line code there lets
+                # Mosaic schedule without the loop-carried [QW, K*C]
+                # accumulator of the general walk (the while_loop's
+                # vreg-resident carry is most of the per-walk overhead).
+                @pl.when(hi < s0 + SLAB)
+                def _single_slab():
+                    apply_w(slab_tile(pl.multiple_of(s0, 8)))
+
+                @pl.when(hi >= s0 + SLAB)
+                def _multi_slab():
+                    def cond(c):
+                        return jnp.logical_not(c[1])
+
+                    def body(c):
+                        s, _, g = c
+                        # s is 8-aligned by construction (s0 masked,
+                        # += SLAB); Mosaic needs the hint to load.  The
+                        # table is padded with SLAB INVALID rows
+                        # (_prep_tables), so slabs advance on a fixed
+                        # non-overlapping grid with no N-SLAB clamp — and
+                        # therefore no double-count guard (the former
+                        # `fresh`/cov machinery is gone too).
+                        s = pl.multiple_of(s, 8)
+                        g = g + slab_tile(s)
+                        return (s + SLAB, s + SLAB > hi, g)
+
+                    _, _, g = jax.lax.while_loop(
+                        cond, body,
+                        (s0, jnp.bool_(False),
+                         jnp.zeros((QW, K * C), jnp.float32)))
+                    apply_w(g)
 
             # whole-(dx, dy) skip: sparse class tables leave entire
             # offset planes without a single key match (precomputed in
@@ -191,6 +206,16 @@ def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
                 ztk_scr[:, :] = jnp.where(ok, keys_row & zmask,
                                           -(1 << 29))
                 jax.lax.fori_loop(0, NB, _block, 0)
+            return 0
+
+        # The dy plane loop stays python-unrolled for ALL K: a fori_loop
+        # variant (measured round 5) made the k9 microbench 50.9 ms vs
+        # 45.6 unrolled — Mosaic schedules the static bodies better —
+        # and bought nothing on compile (the k9 Mosaic compile is ~6 s;
+        # the e2e cold-compile cost lives in XLA's optimization of the
+        # 35 MB eval program, not in the kernels).
+        for dy in range(K):
+            dy_body(dy, 0)
         return 0
 
     jax.lax.fori_loop(0, K, dx_body, 0)
@@ -278,9 +303,18 @@ def _prep_tables(coords, valid, feats, kernel_size, stride, qlat, qvalid):
         r = QW // _LANE
         lo = jnp.min(lo.reshape(G, K, K, NB, r), axis=-1)
         hi = jnp.max(hi.reshape(G, K, K, NB, r), axis=-1)
-    keys_col = skeys.reshape(G, N, 1)
+    # SLAB rows of INVALID/zero padding: the kernels' slab walk advances
+    # on a fixed 8-aligned grid with NO clamp at N-SLAB (rank windows end
+    # at hi <= N-1, so reads stay inside N+SLAB), which removes the
+    # double-count guard from the walk's VPU critical path.  INVALID keys
+    # can never satisfy d == zdl == dz (|dz| < ez << INVALID - max key).
+    keys_col = jnp.pad(skeys, ((0, 0), (0, SLAB)),
+                       constant_values=int(INVALID_KEY)).reshape(
+        G, N + SLAB, 1)
     keys_row = qkeys.reshape(G, NB, QW)
-    featsb = jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16)
+    featsb = jnp.pad(
+        jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16),
+        ((0, 0), (0, SLAB), (0, 0)))
     return lo, hi, keys_col, keys_row, featsb, (K, C, N, NQ, QW, SLAB, NB)
 
 
@@ -326,11 +360,11 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, N + SLAB, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB, QW), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, N + SLAB, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, K, K * C, Cout),
                          lambda g: (g % Gw, 0, 0, 0, 0),
@@ -365,10 +399,11 @@ def mxu_conv_vmem_bytes(N, C, Cout, K, NQ=None):
     scales with the query table, not the source table)."""
     if NQ is None:
         NQ = N
-    return (2 * N * C * 2          # feats bf16, double-buffered
+    Np = N + _SLAB_FOR[_QW]        # + slab-walk pad rows (_prep_tables)
+    return (2 * Np * C * 2         # feats bf16, double-buffered
             + 2 * NQ * Cout * 4    # out f32, double-buffered
             + 2 * K ** 3 * C * Cout * 2  # weight block (full dx axis)
-            + N * 8 + _LANE * 8 * 4)
+            + Np * 8 + _LANE * 8 * 4)
 
 
 def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
@@ -408,47 +443,58 @@ def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                 def nonempty(acc, b=b, dy=dy, lo=lo, hi=hi):
                     tkb = tk_scr[pl.ds(b, 1), :]      # [1, QW]
                     ztkb = ztk_scr[pl.ds(b, 1), :]
-                    s0 = jnp.clip((lo - 8) & ~7,
-                                  0, N - SLAB).astype(jnp.int32)
+                    s0 = jnp.maximum((lo - 8) & ~7, 0).astype(jnp.int32)
 
-                    def cond(c):
-                        return jnp.logical_not(c[1])
+                    # hoisted per-dz target keys (see _conv_kernel)
+                    tkd = []
+                    for dz in range(-h, h + 1):
+                        zv = (ztkb + dz >= 0) & (ztkb + dz < ez)
+                        tkd.append(jnp.where(zv, tkb + dz, -(1 << 29)))
 
-                    def body(c):
-                        s, _, g, cov = c
-                        s = pl.multiple_of(s, 8)
+                    def slab_tile(s):
                         sk = keys_col_ref[0, pl.ds(s, SLAB), :]  # [SLAB, 1]
-                        zs = sk & zmask
-                        d = sk - tkb                             # [SLAB, QW]
-                        zdl = zs - ztkb
                         fs = feats_ref[0, pl.ds(s, SLAB), :]     # [SLAB, C]
-                        fresh = (s + jax.lax.broadcasted_iota(
-                            jnp.int32, (SLAB, 1), 0)) >= cov
-                        q = jnp.where((d == zdl) & fresh, d,
-                                      jnp.int32(1 << 20))        # [SLAB, QW]
                         gs = []
-                        for dz in range(-h, h + 1):
-                            e = (q == dz).astype(jnp.bfloat16)
+                        for dzi in range(K):
+                            e = (sk == tkd[dzi]).astype(jnp.bfloat16)
                             gs.append(jax.lax.dot_general(
                                 e, fs, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32))
-                        g = g + jnp.concatenate(gs, axis=1)      # [QW, K*C]
-                        done = (s + SLAB > hi) | (s >= N - SLAB)
-                        nxt = jnp.minimum(s + SLAB,
-                                          N - SLAB).astype(jnp.int32)
-                        return (nxt, done, g, s + SLAB)
+                        return jnp.concatenate(gs, axis=1)       # [QW, K*C]
 
-                    _, _, g, _ = jax.lax.while_loop(
-                        cond, body,
-                        (s0, s0 > hi, jnp.zeros((QW, K * C), jnp.float32),
-                         jnp.int32(-(1 << 29))))
-                    qpos = pl.multiple_of(b * QW, _LANE)
-                    gb = gout_ref[0, pl.ds(qpos, QW), :]       # [QW, Cout]
-                    # transposed weight apply: [K*C, QW] @ [QW, Cout]
-                    return acc + jax.lax.dot_general(
-                        g.astype(jnp.bfloat16), gb,
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    def apply_t(g):
+                        qpos = pl.multiple_of(b * QW, _LANE)
+                        gb = gout_ref[0, pl.ds(qpos, QW), :]   # [QW, Cout]
+                        # transposed weight apply: [K*C, QW] @ [QW, Cout]
+                        return acc + jax.lax.dot_general(
+                            g.astype(jnp.bfloat16), gb,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    def single(_):
+                        # straight-line single-slab fast path (see
+                        # _conv_kernel): no loop-carried [QW, K*C] carry
+                        return apply_t(slab_tile(pl.multiple_of(s0, 8)))
+
+                    def multi(_):
+                        def cond(c):
+                            return jnp.logical_not(c[1])
+
+                        def body(c):
+                            # padded table (see _conv_kernel): fixed slab
+                            # grid, no clamp, no double-count guard
+                            s, _, g = c
+                            s = pl.multiple_of(s, 8)
+                            return (s + SLAB, s + SLAB > hi,
+                                    g + slab_tile(s))
+
+                        _, _, g = jax.lax.while_loop(
+                            cond, body,
+                            (s0, jnp.bool_(False),
+                             jnp.zeros((QW, K * C), jnp.float32)))
+                        return apply_t(g)
+
+                    return jax.lax.cond(hi < s0 + SLAB, single, multi, 0)
 
                 # empty rank window: skip walk AND matmul (same gate as
                 # the forward kernel; most windows are empty for k9)
@@ -487,11 +533,11 @@ def _pallas_dw(coords, valid, feats, gout, kernel_size: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, K, NB), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, N + SLAB, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB, QW), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, N + SLAB, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NQ, Cout), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
