@@ -382,3 +382,40 @@ def folded_gather_gemm(feats, nbr, w, bias=None, tnbr=None):
     if bias is not None:
         return _gather_gemm_fold(True, False)(feats, nbr, w, bias)
     return _gather_gemm_fold(False, False)(feats, nbr, w)
+
+
+@lru_cache(maxsize=None)
+def _take_rows_fold():
+    from .gather import take_rows
+
+    def raw(feats, idx):
+        f = take_rows(feats, jnp.maximum(idx, 0))
+        return jnp.where((idx >= 0)[..., None], f, 0)
+
+    @custom_vmap
+    def f(feats, idx):
+        return raw(feats, idx)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, feats, idx):
+        fb, ib = in_batched
+        B = axis_size
+        N_src = feats.shape[1] if fb else feats.shape[0]
+        ff = _fold(feats, B, fb)
+        if not ib:
+            idx = jnp.broadcast_to(idx[None], (B,) + idx.shape)
+        off = (jnp.arange(B, dtype=idx.dtype) * N_src).reshape(
+            (B,) + (1,) * (idx.ndim - 1))
+        fi = jnp.where(idx >= 0, idx + off, -1).reshape(-1)
+        out = raw(ff, fi)
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    return f
+
+
+def folded_take_rows(feats, idx):
+    """Masked row gather (idx -1 -> zeros) with scene-vmap folding: the
+    batched [B, N, C] table flattens so the take stays a flat row gather
+    under the detector's per-scene vmap (the single-parent up-conv fast
+    path, layers._up_single_parent)."""
+    return _take_rows_fold()(feats, idx)

@@ -220,8 +220,11 @@ class BiResNet:
         return out.with_feats(out.feats + sc.feats)
 
     def __call__(self, P: Params, S: Params, ctx: Ctx,
-                 st: SparseTensor, prefix: str = "backbone_3d"
-                 ) -> SparseTensor:
+                 st: SparseTensor, prefix: str = "backbone_3d",
+                 stop_after: str = None) -> SparseTensor:
+        """``stop_after``: profiling cut point (tools/profile_backbone.py)
+        — returns the named prefix's live tensors so XLA dead-code
+        -eliminates the rest; cuts keep BOTH bilateral branches live."""
         pre = prefix
         caps = self.caps
         nblk = self.layers
@@ -232,11 +235,17 @@ class BiResNet:
                    subm(P, ctx, pre + ".conv1.0", st, 3)))
         x = act(bn(P, S, ctx, pre + ".conv1.4",
                    subm(P, ctx, pre + ".conv1.3", x, 3)))
+        if stop_after == "stem":
+            return x
 
         l1 = self._layer(P, S, ctx, pre + ".layer1", x, nblk[0], 2,
                          caps[base * 2])
+        if stop_after == "layer1":
+            return l1
         l2 = self._layer(P, S, ctx, pre + ".layer2", act(l1), nblk[1], 2,
                          caps[base * 4])
+        if stop_after == "layer2":
+            return l2
         l3 = self._layer(P, S, ctx, pre + ".layer3", act(l2), nblk[2], 2,
                          caps[base * 8])
         x_ = self._layer(P, S, ctx, pre + ".layer3_", act(l2), 2, 1,
@@ -249,6 +258,8 @@ class BiResNet:
                 subm(P, ctx, pre + ".compression3.0", act(l3), 1))
         x_ = x_.with_feats(x_.feats + interpolate_at(
             c3, x_.coords.astype(jnp.float32), x_.valid))
+        if stop_after == "fuse3":
+            return xm, x_
 
         l4 = self._layer(P, S, ctx, pre + ".layer4", act(xm), nblk[3], 2,
                          caps[base * 16])
@@ -264,14 +275,20 @@ class BiResNet:
                 subm(P, ctx, pre + ".compression4.0", act(l4), 1))
         x_ = x_.with_feats(x_.feats + interpolate_at(
             c4, x_.coords.astype(jnp.float32), x_.valid))
+        if stop_after == "fuse4":
+            return xm, x_
 
         x_ = self._bottleneck(P, S, ctx, pre + ".layer5_.0", act(x_), 1,
                               caps[base * 4])
         l5 = self._bottleneck(P, S, ctx, pre + ".layer5.0", act(xm), 2,
                               caps[base * 32])
+        if stop_after == "layer5":
+            return l5, x_
         sppo = self._dappm(P, S, ctx, pre + ".spp", l5)
         x_ = x_.with_feats(x_.feats + interpolate_at(
             sppo, x_.coords.astype(jnp.float32), x_.valid))
+        if stop_after == "spp":
+            return x_
 
         # out head: transpose k2 s2 decoded at the stride-2 map (= layer1
         # coords, ME coordinate-manager reuse biresnet.py:397)

@@ -292,10 +292,62 @@ def conv_at(params: Params, ctx: Ctx, path: str, src: SparseTensor,
                         tgt_valid, os)
 
 
+def _up_single_parent(params: Params, ctx: Ctx, path: str,
+                      src: SparseTensor, tgt_coords, tgt_valid, k: int,
+                      out_stride: int) -> SparseTensor:
+    """Exact-tiling transposed conv (k == up_factor, e.g. the backbone's
+    ``out.0`` k2 s4->s2, reference biresnet.py:308-315): the kernel
+    region tiles one source-stride period, so per component exactly one
+    of the k offsets lands on the source lattice — every target voxel
+    has exactly ONE parent.  The general path's K^3 hash lookups + K^3
+    row gathers (the HBM-bound cost) collapse to one lookup + one
+    gather; the per-row kernel weight W[parity(tgt)] is applied as K^3
+    shared matmuls selected by a parity one-hot (MXU work, no gather).
+    """
+    import numpy as np
+    w = params[path + ".kernel"]            # [k^3, Cin, Cout]
+    S = src.stride
+    rem = jnp.remainder(tgt_coords, S)      # multiples of out_stride
+    parent = tgt_coords - rem
+    ko = jnp.floor_divide(rem, out_stride)  # [N, 3] in [0, k)
+    nbr = neighbor_table(src, parent, tgt_valid,
+                         np.zeros((1, 3), np.int32))
+    idx = nbr[0]
+    feats = src.masked_feats().astype(jnp.bfloat16)
+    if getattr(ctx, "scene_fold", False):
+        from ..core.scene_fold import folded_take_rows
+        f = folded_take_rows(feats, idx)
+    else:
+        from ..core.gather import take_rows
+        f = take_rows(feats, jnp.maximum(idx, 0))
+        f = jnp.where((idx >= 0)[:, None], f, 0)
+    # kernel_offsets order for even k: 0..k-1 per axis, x-major z-fastest
+    oid = (ko[:, 0] * k + ko[:, 1]) * k + ko[:, 2]
+    out = jnp.zeros((tgt_coords.shape[0], w.shape[-1]), jnp.float32)
+    for o in range(k ** 3):
+        yo = jnp.dot(f, w[o].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        out = out + jnp.where((oid == o)[:, None], yo, 0.0)
+    b = params.get(path + ".bias")
+    if b is not None:
+        out = out + b
+    return SparseTensor(tgt_coords,
+                        jnp.where(tgt_valid[:, None], out, 0.0),
+                        tgt_valid, out_stride)
+
+
 def up(params: Params, ctx: Ctx, path: str, src: SparseTensor, tgt_coords,
        tgt_valid, k: int, up_factor: int) -> SparseTensor:
     assert src.stride % up_factor == 0
     out_stride = src.stride // up_factor
+    import os as _os
+    if k == up_factor and not ctx.train \
+            and _os.environ.get("CAGROUP_UP_SP", "1") != "0":
+        # eval fast path: single-parent decode (see _up_single_parent);
+        # training keeps the tnbr scatter-free VJP machinery below.
+        # CAGROUP_UP_SP=0 disables (compile/perf bisection knob).
+        return _up_single_parent(params, ctx, path, src, tgt_coords,
+                                 tgt_valid, k, out_stride)
     offs = transpose_offsets(k, out_stride)
     nbr = _nbr(ctx, src, tgt_coords, tgt_valid, offs)
     tnbr = None

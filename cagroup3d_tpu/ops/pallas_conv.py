@@ -61,8 +61,9 @@ _LANE = 128
 _QW = 128
 # SLAB sweep on v5e (k9, G=18, N=4096, C=64): 128 -> 59.3 ms,
 # 160 -> 46.6, 192 -> 45.6, 256 -> 48.7.  192 balances one-hot width
-# against multi-slab window visits.
-_SLAB_FOR = {128: 192, 256: 320}
+# against multi-slab window visits.  CAGROUP_SLAB overrides for tuning
+# experiments (read at import; must divide the pad logic's 8-grid).
+_SLAB_FOR = {128: int(os.environ.get("CAGROUP_SLAB", 192)), 256: 320}
 
 
 def _mxu_bwd_enabled():

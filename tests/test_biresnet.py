@@ -81,3 +81,68 @@ def test_jit_compiles(rng):
     f2 = net(P, S, Ctx(train=False), st).feats
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_up_single_parent_matches_general(rng):
+    """Eval single-parent fast path == general transposed-conv path
+    (layers._up_single_parent vs neighbor_table + gather_gemm), solo and
+    under the per-scene vmap (scene_fold)."""
+    from cagroup3d_tpu.core.kernel_maps import (neighbor_table,
+                                                transpose_offsets)
+    from cagroup3d_tpu.core.sparse import SparseTensor
+    from cagroup3d_tpu.core.sparse_conv import gather_gemm
+    from cagroup3d_tpu.core.voxelize import stride_reduce_coords
+    from cagroup3d_tpu.models import layers as L
+
+    C = 16
+    k, up_factor = 2, 2
+
+    def scene(seed):
+        r = np.random.RandomState(seed)
+        st2 = synthetic_scene(r, 1200)          # stride-1 table
+        st2 = SparseTensor(st2.coords * 2, st2.feats, st2.valid, 2)
+        st4, _ = stride_reduce_coords(st2, 2, SMALL_CAPS[2])
+        f4 = jnp.asarray(
+            r.randn(st4.cap, C).astype(np.float32)) * st4.valid[:, None]
+        src = SparseTensor(st4.coords, f4, st4.valid, 4)
+        return src, st2.coords, st2.valid
+
+    r0 = np.random.RandomState(0)
+    w = jnp.asarray(r0.randn(k ** 3, C, C).astype(np.float32) * 0.1)
+    b = jnp.asarray(r0.randn(C).astype(np.float32) * 0.1)
+    P = {"up.kernel": w, "up.bias": b}
+
+    def oracle(src, tgt_c, tgt_v):
+        offs = transpose_offsets(k, src.stride // up_factor)
+        nbr = neighbor_table(src, tgt_c, tgt_v, offs)
+        f = gather_gemm(src.feats, nbr, w, b)
+        return jnp.where(tgt_v[:, None], f, 0.0)
+
+    # solo (no fold)
+    src, tc, tv = scene(1)
+    ctx = Ctx(train=False, axis_name=None, rng=jax.random.PRNGKey(0))
+    got = L.up(P, ctx, "up", src, tc, tv, k, up_factor)
+    np.testing.assert_allclose(np.asarray(got.feats),
+                               np.asarray(oracle(src, tc, tv)),
+                               rtol=2e-2, atol=2e-2)
+    assert got.stride == 2
+
+    # under the per-scene vmap (scene_fold path)
+    scenes = [scene(2), scene(3)]
+    sc = jnp.stack([s[0].coords for s in scenes])
+    sf = jnp.stack([s[0].feats for s in scenes])
+    sv = jnp.stack([s[0].valid for s in scenes])
+    tc2 = jnp.stack([s[1] for s in scenes])
+    tv2 = jnp.stack([s[2] for s in scenes])
+
+    def one(scc, sff, svv, tcc, tvv):
+        ctx = Ctx(train=False, axis_name="scene",
+                  rng=jax.random.PRNGKey(0))
+        src = SparseTensor(scc, sff, svv, 4)
+        return L.up(P, ctx, "up", src, tcc, tvv, k, up_factor).feats
+
+    outs = jax.vmap(one)(sc, sf, sv, tc2, tv2)
+    for i, (src, tcc, tvv) in enumerate(scenes):
+        np.testing.assert_allclose(np.asarray(outs[i]),
+                                   np.asarray(oracle(src, tcc, tvv)),
+                                   rtol=2e-2, atol=2e-2)

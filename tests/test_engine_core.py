@@ -232,6 +232,20 @@ class TestPooling:
             np.testing.assert_allclose(g, feats[mask].mean(0), rtol=1e-4,
                                        atol=1e-4)
 
+    def test_avg_pool_scatter_matmul_agree(self, rng, monkeypatch):
+        """The scatter fallback (big tables) == the membership-matmul
+        fast path avg_pool defaults to for the DAPPM-sized pools."""
+        from cagroup3d_tpu.core import pooling
+        st, coords, feats = random_sparse(rng, 200, 3, extent=24, stride=1)
+        fast = avg_pool(st, kernel_size=5, factor=2, out_cap=128)
+        monkeypatch.setattr(pooling, "_POOL_MATMUL_MAX", 0)
+        slow = avg_pool(st, kernel_size=5, factor=2, out_cap=128)
+        np.testing.assert_allclose(np.asarray(fast.feats),
+                                   np.asarray(slow.feats),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fast.valid),
+                                      np.asarray(slow.valid))
+
     def test_interpolate_trilinear(self, rng):
         # regular grid so interpolation is exact for linear functions
         g = np.arange(0, 6)
