@@ -81,15 +81,20 @@ def main():
         return SparseTensor(jnp.asarray(c), f, jnp.asarray(v), s)
 
     def timeit(name, fn, args, count):
-        run = jax.jit(fn)
+        # ALL iterations inside ONE jit dispatch (lax.fori_loop, data-
+        # chained carry): cross-call chaining through the remote tunnel
+        # adds 1.5-3 ms/call of dispatch noise that swamped the small
+        # cases in the first version of this tool.
+        @jax.jit
+        def run(c, *args):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, cc: fn(cc, *args), c)
+
         t0 = time.time()
         r = float(run(jnp.float32(0.0), *args))
         comp = time.time() - t0
-        c = jnp.float32(0.0)
         t0 = time.time()
-        for _ in range(iters):
-            c = run(c, *args)
-        _ = float(c)
+        r2 = float(run(jnp.float32(0.0), *args))
         dt = (time.time() - t0) / iters * 1e3
         print(f"{name:34s} {dt:7.2f} ms x{count:2d} = {dt*count:7.2f} ms"
               f"   (compile {comp:.0f}s, r={r:.3g})")
