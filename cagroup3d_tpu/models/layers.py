@@ -11,6 +11,7 @@ vs ``down3``) produce the *same* tensor, making residual adds row-aligned.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -123,9 +124,18 @@ def reduce_coords(ctx: Ctx, st: SparseTensor, factor: int, cap: int):
 
 # Under vmap (batched training) Pallas blocks grow by the batch factor,
 # so training needs headroom: 26M keeps the stride>=2 backbone tables
-# (N*C <= 2M).  Batch-1 eval can afford the stride-1 stem too.
+# (N*C <= 2M).  Batch-1 eval can afford the stride-1 stem conv1.0.
+# NEGATIVE RESULT (round 5, v5e): routing the 65536-row 64->64 stem
+# conv1.3 to the MXU kernel (CAGROUP_MXU_EVAL_MB=72, needs the 100M
+# scoped limit) measured 71.9 ms e2e vs 69.9 at the 52M default —
+# standalone the kernel wins 2.99 vs 15.82 ms (tools/bench_backbone.py),
+# but in the full program XLA fuses the stem's gathers (the prefix-DCE
+# stem stage is 7.0 ms TOTAL) and the MXU path's XLA-side prep (rank
+# windows + bf16 table pad at 65k rows) erases the win.  52M is the
+# measured-best eval budget; the env override exists for experiments.
 _MXU_VMEM_BUDGET_TRAIN = 26 * 1024 * 1024
-_MXU_VMEM_BUDGET_EVAL = 52 * 1024 * 1024
+_MXU_VMEM_BUDGET_EVAL = int(os.environ.get("CAGROUP_MXU_EVAL_MB",
+                                           52)) * 1024 * 1024
 
 
 def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
@@ -157,8 +167,8 @@ def _use_mxu(st: SparseTensor, ctx: Ctx, k: int, cout: int) -> bool:
         budget = 48 * 1024 * 1024 if ctx.train else _MXU_VMEM_BUDGET_EVAL
     # The kernel compiles with scoped vmem limited to CAGROUP_VMEM_MB
     # (ops/pallas_conv.py); keep the routing gate under that limit minus
-    # the observed Mosaic DMA slack (~28M at the default 80M limit,
-    # where the 52M eval budget is the measured-working ceiling), so a
+    # the observed Mosaic DMA slack (~28M: 52M estimates worked at the
+    # old 80M limit, and the 68.2M stem estimate works at 96M), so a
     # lowered env limit falls back to XLA instead of failing Mosaic
     # compilation (round-4 ADVICE).
     import os

@@ -383,7 +383,10 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
         # roughly doubles the peak again (batch grid dim double-buffered:
         # the 32768-row stride-2 conv peaks at 64.25M under vmap vs
         # fitting 52M in eval) — 80M default leaves headroom on the 128M
-        # chip; CAGROUP_VMEM_MB overrides
+        # chip; CAGROUP_VMEM_MB overrides (96-100M compiles and runs
+        # fine, admitting the 65536-row 64->64 stem table — measured a
+        # NET e2e loss though, see _MXU_VMEM_BUDGET_EVAL in
+        # models/layers.py)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(os.environ.get("CAGROUP_VMEM_MB", 80))
             * 1024 * 1024),
