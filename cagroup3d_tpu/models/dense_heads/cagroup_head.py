@@ -156,9 +156,14 @@ class CAGroup3DHead:
 
     # ------------------------------------------------------------------
     def forward(self, P: Params, S: Params, ctx: Ctx, st: SparseTensor,
-                semantic_threshold, prefix: str = "dense_head"
-                ) -> Dict[str, jnp.ndarray]:
-        """st: backbone output (stride 2 on the base lattice), per scene."""
+                semantic_threshold, prefix: str = "dense_head",
+                stop_after: str = None) -> Dict[str, jnp.ndarray]:
+        """st: backbone output (stride 2 on the base lattice), per scene.
+
+        stop_after: profiling cut (tools/profile_head.py, same idea as
+        biresnet's stop_after): "sem_offsets" | "maps" | "cls_convs" |
+        "up_fuse" return partial dicts so XLA dead-code-eliminates the
+        rest of the head; production callers leave it None."""
         pre = prefix
         v = self.voxel_size
         n_cls, C = self.n_classes, self.out_channels
@@ -208,6 +213,10 @@ class CAGroup3DHead:
             feats_all = jnp.concatenate([offset_feats, st.feats], axis=0)
             sel_all = jnp.concatenate([sel, sel], axis=0)     # [2*N2, n_cls]
 
+        if stop_after == "sem_offsets":
+            return dict(semantic_scores=sem, voxel_offsets=voxel_offsets,
+                        offset_feats=offset_feats, voted=voted, sel=sel)
+
         vox_sizes = jnp.asarray(self.voxel_size_list, jnp.float32)
 
         # class-batched re-voxelization: BOTH maps from one sort (the
@@ -226,6 +235,9 @@ class CAGroup3DHead:
         ctx.stats["overflow/head_expand"] = jnp.sum(of_c)
         fine = SparseTensor(fc, ff, fv, 1)
         coarse = SparseTensor(cc, cf, cv, 1)
+        if stop_after == "maps":
+            return dict(semantic_scores=sem, fine_feats=ff,
+                        coarse_feats=cf, fine_valid=fv, coarse_valid=cv)
         # fine: stacked [n_cls, FINE_CAP, ...] on the per-class lattice
         # (stride 1); coarse on the x{expand} lattice.
 
@@ -262,6 +274,8 @@ class CAGroup3DHead:
         e_out = _bn_stacked(P, S, ctx, pre + ".cls_individual_expand_out.1",
                             e_out, coarse.valid)
         e_out = jnp.where(coarse.valid[..., None], elu(e_out), 0.0)
+        if stop_after == "cls_convs":
+            return dict(semantic_scores=sem, f_out=f_out, e_out=e_out)
 
         # generative transpose k3 s3 decoded at the fine coords; with
         # kernel == stride each fine voxel has exactly one parent, so the
@@ -290,6 +304,8 @@ class CAGroup3DHead:
         fused = _bn_stacked(P, S, ctx, pre + ".cls_individual_fuse.1", fused,
                             fine.valid)
         fused = jnp.where(fine.valid[..., None], elu(fused), 0.0)
+        if stop_after == "up_fuse":
+            return dict(semantic_scores=sem, fused=fused)
 
         # shared heads (1x1 convs) + per-class scale on distances
         w_center = P[pre + ".centerness_conv.kernel"][0]
