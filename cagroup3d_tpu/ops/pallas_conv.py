@@ -54,11 +54,15 @@ from ..core.hashing import INVALID_KEY, key_extents, key_shifts, \
     pack_coords
 
 _LANE = 128
-# Query-block width (lanes) and its slab length.  QW=256 (fewer, larger
-# matmuls) produces WRONG results on real v5e hardware while passing in
-# interpret mode (Mosaic lowering issue with [SLAB, 256] one-hot
-# compares/stores, ~7% rel err) — keep 128 until the toolchain moves.
-_QW = 128
+# Query-block width (lanes) and its slab length.  A NAIVE QW=256 (one
+# [SLAB, 256] one-hot) produces WRONG results on real v5e hardware while
+# passing in interpret mode (Mosaic lowering miscompile, ~7% rel err).
+# CAGROUP_QW256=1 enables the two-128-lane workaround instead: the
+# rank-window walk runs once per 256-query block (halving window visits,
+# the per-walk overhead) but every one-hot compare stays [SLAB, 128] —
+# two compares + two MXU matmuls per dz whose results concatenate along
+# the query rows (exactness gated by tools/tpu_smoke.py on-chip).
+_QW = 256 if os.environ.get("CAGROUP_QW256") == "1" else 128
 # SLAB sweep on v5e (k9, G=18, N=4096, C=64): 128 -> 59.3 ms,
 # 160 -> 46.6, 192 -> 45.6, 256 -> 48.7.  192 balances one-hot width
 # against multi-slab window visits.  CAGROUP_SLAB overrides for tuning
@@ -69,6 +73,31 @@ _SLAB_FOR = {128: int(os.environ.get("CAGROUP_SLAB", 192)), 256: 320}
 def _mxu_bwd_enabled():
     """Backward stays on the MXU kernels unless CAGROUP_XLA_BWD=1."""
     return os.environ.get("CAGROUP_XLA_BWD") != "1"
+
+
+def _gather_tile(sk, fs, tkd, K):
+    """One slab's gathered [QW, K*C] one-hot tile (dz-major columns).
+
+    ``tkd[dzi]`` is a LIST of [1, 128] per-half target-key rows (one for
+    QW=128, two for QW=256).  Every one-hot compare stays [SLAB, 128]:
+    a single [SLAB, 256] compare form MISCOMPILES on v5e Mosaic (~7%
+    rel err, silently), and lane-slicing a [1, 256] vector for the
+    compare hits "Invalid input layout" on the broadcast — so the halves
+    are carried as separate 128-lane scratch ROWS end to end.  Per dz,
+    the per-half [128, C] matmul results concatenate along the query
+    rows.  Exactness is gated on-chip by tools/tpu_smoke.py."""
+    gs = []
+    for dzi in range(K):
+        halves = []
+        for tkh in tkd[dzi]:
+            e = (sk == tkh).astype(jnp.bfloat16)
+            halves.append(jax.lax.dot_general(
+                e, fs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # [128, C]
+        g = halves[0] if len(halves) == 1 else \
+            jnp.concatenate(halves, axis=0)                  # [QW, C]
+        gs.append(g)
+    return jnp.concatenate(gs, axis=1)                       # [QW, K*C]
 
 
 def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
@@ -85,13 +114,17 @@ def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
     sorted query key table (the RoI head's grid_conv,
     cagroup_roi_head.py:69)."""
     h = K // 2
-    NB = NQ // QW
+    NB = NQ // QW           # walk blocks (rank windows, weight applies)
+    R = QW // _LANE         # 128-lane scratch rows per walk block
     invalid = int(INVALID_KEY)
     (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     zmask = ez - 1
 
     out_ref[0] = jnp.zeros((NQ, Cout), jnp.float32)
-    keys_row = keys_row_ref[0]                        # [NB, QW]
+    # query rows stay 128-lane-granular regardless of QW: Mosaic cannot
+    # broadcast a lane-SLICE of a [1, 256] vector ("Invalid input
+    # layout"), so QW=256 blocks consume R=2 natural scratch rows
+    keys_row = keys_row_ref[0]                        # [NQ/128, 128]
     xd = jax.lax.shift_right_logical(keys_row, sx)
     yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
     valid_q = keys_row < invalid
@@ -119,8 +152,10 @@ def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
                 return 0
 
             def _gather_apply(dxi, dy, b, lo, hi):
-                tkb = tk_scr[pl.ds(b, 1), :]          # [1, QW]
-                ztkb = ztk_scr[pl.ds(b, 1), :]
+                tk_rows = [tk_scr[pl.ds(b * R + hh, 1), :]
+                           for hh in range(R)]        # R x [1, 128]
+                ztk_rows = [ztk_scr[pl.ds(b * R + hh, 1), :]
+                            for hh in range(R)]
                 s0 = jnp.maximum((lo - 8) & ~7, 0).astype(jnp.int32)
 
                 # Per-dz TARGET keys, hoisted out of the slab walk:
@@ -130,27 +165,24 @@ def _conv_kernel(nz_ref, lo_ref, hi_ref, keys_col_ref, keys_row_ref,
                 # can then never alias another (x, y) column, so the walk
                 # needs NO per-element z-digit verification.  This
                 # replaces the former d/zs/zdl/select machinery (5 full
-                # [SLAB, QW] VPU passes per slab) with [1, QW] setup here
-                # and a single broadcast compare per dz in the walk.
-                # NOTE: the compares must stay i32 — v5e Mosaic vector
-                # compares are 32-bit only (i16 cmpi and bf16 cmpf both
-                # fail to lower; round-4 finding).
+                # [SLAB, QW] VPU passes per slab) with [1, 128]-row setup
+                # here and one broadcast compare per (dz, half) in the
+                # walk.  NOTE: the compares must stay i32 — v5e Mosaic
+                # vector compares are 32-bit only (i16 cmpi and bf16
+                # cmpf both fail to lower; round-4 finding).
                 tkd = []
                 for dz in range(-h, h + 1):
-                    zv = (ztkb + dz >= 0) & (ztkb + dz < ez)
-                    tkd.append(jnp.where(zv, tkb + dz, -(1 << 29)))
+                    row = []
+                    for tkh, ztkh in zip(tk_rows, ztk_rows):
+                        zv = (ztkh + dz >= 0) & (ztkh + dz < ez)
+                        row.append(jnp.where(zv, tkh + dz, -(1 << 29)))
+                    tkd.append(row)
 
                 def slab_tile(s):
                     """One slab's gathered [QW, K*C] tile (dz-major)."""
                     sk = keys_col_ref[0, pl.ds(s, SLAB), :]    # [SLAB, 1]
                     fs = feats_ref[0, pl.ds(s, SLAB), :]       # [SLAB, C]
-                    gs = []
-                    for dzi in range(K):
-                        e = (sk == tkd[dzi]).astype(jnp.bfloat16)
-                        gs.append(jax.lax.dot_general(
-                            e, fs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))  # [QW, C]
-                    return jnp.concatenate(gs, axis=1)         # [QW, K*C]
+                    return _gather_tile(sk, fs, tkd, K)
 
                 def apply_w(g):
                     # fused weight apply: [128, K*C] @ [K*C, Cout]
@@ -312,7 +344,9 @@ def _prep_tables(coords, valid, feats, kernel_size, stride, qlat, qvalid):
     keys_col = jnp.pad(skeys, ((0, 0), (0, SLAB)),
                        constant_values=int(INVALID_KEY)).reshape(
         G, N + SLAB, 1)
-    keys_row = qkeys.reshape(G, NB, QW)
+    # query rows ALWAYS at 128-lane granularity (QW=256 walk blocks
+    # consume two rows each — see _conv_kernel's layout note)
+    keys_row = qkeys.reshape(G, NQ // _LANE, _LANE)
     featsb = jnp.pad(
         jnp.where(valid[..., None], feats, 0.0).astype(jnp.bfloat16),
         ((0, 0), (0, SLAB), (0, 0)))
@@ -363,7 +397,7 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N + SLAB, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, QW), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, NQ // _LANE, _LANE), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N + SLAB, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -375,8 +409,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, NQ, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NB, QW), jnp.int32),
-            pltpu.VMEM((NB, QW), jnp.int32),
+            pltpu.VMEM((NQ // _LANE, _LANE), jnp.int32),
+            pltpu.VMEM((NQ // _LANE, _LANE), jnp.int32),
         ],
         # double-buffered blocks can exceed the default 16M scoped-vmem
         # budget for the larger backbone tables, and the TRAINING vmap
@@ -421,11 +455,12 @@ def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
     forward's out lived.  Same no-program_id discipline (vmap safety)."""
     h = K // 2
     NB = NQ // QW
+    R = QW // _LANE
     invalid = int(INVALID_KEY)
     (ex, ey, ez), (sx, sy) = key_extents(), key_shifts()
     zmask = ez - 1
 
-    keys_row = keys_row_ref[0]                        # [NB, QW]
+    keys_row = keys_row_ref[0]                        # [NQ/128, 128]
     xd = jax.lax.shift_right_logical(keys_row, sx)
     yd = jax.lax.shift_right_logical(keys_row, sy) & (ey - 1)
     valid_q = keys_row < invalid
@@ -445,26 +480,26 @@ def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
                 hi = hi_ref[0, dxi, dy, b]
 
                 def nonempty(acc, b=b, dy=dy, lo=lo, hi=hi):
-                    tkb = tk_scr[pl.ds(b, 1), :]      # [1, QW]
-                    ztkb = ztk_scr[pl.ds(b, 1), :]
+                    tk_rows = [tk_scr[pl.ds(b * R + hh, 1), :]
+                               for hh in range(R)]    # R x [1, 128]
+                    ztk_rows = [ztk_scr[pl.ds(b * R + hh, 1), :]
+                                for hh in range(R)]
                     s0 = jnp.maximum((lo - 8) & ~7, 0).astype(jnp.int32)
 
-                    # hoisted per-dz target keys (see _conv_kernel)
+                    # hoisted per-(dz, half) target keys (see _conv_kernel)
                     tkd = []
                     for dz in range(-h, h + 1):
-                        zv = (ztkb + dz >= 0) & (ztkb + dz < ez)
-                        tkd.append(jnp.where(zv, tkb + dz, -(1 << 29)))
+                        row = []
+                        for tkh, ztkh in zip(tk_rows, ztk_rows):
+                            zv = (ztkh + dz >= 0) & (ztkh + dz < ez)
+                            row.append(
+                                jnp.where(zv, tkh + dz, -(1 << 29)))
+                        tkd.append(row)
 
                     def slab_tile(s):
                         sk = keys_col_ref[0, pl.ds(s, SLAB), :]  # [SLAB, 1]
                         fs = feats_ref[0, pl.ds(s, SLAB), :]     # [SLAB, C]
-                        gs = []
-                        for dzi in range(K):
-                            e = (sk == tkd[dzi]).astype(jnp.bfloat16)
-                            gs.append(jax.lax.dot_general(
-                                e, fs, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32))
-                        return jnp.concatenate(gs, axis=1)       # [QW, K*C]
+                        return _gather_tile(sk, fs, tkd, K)
 
                     def apply_t(g):
                         qpos = pl.multiple_of(b * QW, _LANE)
@@ -539,7 +574,7 @@ def _pallas_dw(coords, valid, feats, gout, kernel_size: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N + SLAB, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, QW), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, NQ // _LANE, _LANE), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N + SLAB, C), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -552,8 +587,8 @@ def _pallas_dw(coords, valid, feats, gout, kernel_size: int,
         out_shape=jax.ShapeDtypeStruct((G, K, K, K * C, Cout),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NB, QW), jnp.int32),
-            pltpu.VMEM((NB, QW), jnp.int32),
+            pltpu.VMEM((NQ // _LANE, _LANE), jnp.int32),
+            pltpu.VMEM((NQ // _LANE, _LANE), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
