@@ -78,12 +78,13 @@ def folded_grouped_classes_t(coords, valid, feats, stride, kernel_size,
 
 
 @lru_cache(maxsize=None)
-def _subm_mxu(kernel_size: int, stride: int):
+def _subm_mxu(kernel_size: int, stride: int, train: bool = False):
     from ..ops.pallas_conv import subm_conv_classes_mxu as raw
 
     @custom_vmap
     def f(coords, valid, feats, w):
-        return raw(coords, valid, feats, w, kernel_size, stride)
+        return raw(coords, valid, feats, w, kernel_size, stride,
+                   train=train)
 
     @f.def_vmap
     def rule(axis_size, in_batched, coords, valid, feats, w):
@@ -93,27 +94,31 @@ def _subm_mxu(kernel_size: int, stride: int):
         wf, wg = _w_mode(w, B, wb, G)
         out = raw(_fold(coords, B, cb), _fold(valid, B, vb),
                   _fold(feats, B, fb), wf, kernel_size, stride,
-                  w_groups=wg)
+                  w_groups=wg, train=train)
         return out.reshape((B, G) + out.shape[1:]), True
 
     return f
 
 
-def folded_subm_mxu(coords, valid, feats, w, kernel_size, stride=1):
+def folded_subm_mxu(coords, valid, feats, w, kernel_size, stride=1,
+                    train: bool = False):
     """subm_conv_classes_mxu with scene-vmap folding (the Pallas grid
-    grows to B*G steps; per-step VMEM stays one class table)."""
-    return _subm_mxu(int(kernel_size), int(stride))(coords, valid,
-                                                    feats, w)
+    grows to B*G steps; per-step VMEM stays one class table).  ``train``
+    is the caller's ctx.train: it picks the walk-block width
+    (ops/pallas_conv._qw_for)."""
+    return _subm_mxu(int(kernel_size), int(stride),
+                     bool(train))(coords, valid, feats, w)
 
 
 @lru_cache(maxsize=None)
-def _subm_single_mxu(kernel_size: int, stride: int):
+def _subm_single_mxu(kernel_size: int, stride: int, train: bool = False):
     from ..ops.pallas_conv import (subm_conv_classes_mxu,
                                    subm_conv_mxu as raw_single)
 
     @custom_vmap
     def f(coords, valid, feats, w):
-        return raw_single(coords, valid, feats, w, kernel_size, stride)
+        return raw_single(coords, valid, feats, w, kernel_size, stride,
+                          train=train)
 
     @f.def_vmap
     def rule(axis_size, in_batched, coords, valid, feats, w):
@@ -130,7 +135,7 @@ def _subm_single_mxu(kernel_size: int, stride: int):
         out = subm_conv_classes_mxu(
             b(coords, cb), b(valid, vb), b(feats, fb),
             w if wb else w[None], kernel_size, stride,
-            w_groups=0 if wb else 1)
+            w_groups=0 if wb else 1, train=train)
         return out, True
 
     return f
@@ -203,13 +208,14 @@ def folded_paired_maps(lat, feats, sel, cap_fine, cap_coarse, factor,
 
 
 def folded_subm_single_mxu(coords, valid, feats, w, kernel_size,
-                           stride=1):
+                           stride=1, train: bool = False):
     """Single-table (backbone) MXU conv with scene-vmap folding: under
     the per-scene vmap the batch folds into the class-group axis of
     subm_conv_classes_mxu, keeping per-grid-step VMEM at one scene's
-    table (the round-2 blocker for MXU_TRAIN)."""
-    return _subm_single_mxu(int(kernel_size), int(stride))(
-        coords, valid, feats, w)
+    table (the round-2 blocker for MXU_TRAIN).  ``train`` picks the
+    walk-block width (ops/pallas_conv._qw_for)."""
+    return _subm_single_mxu(int(kernel_size), int(stride),
+                            bool(train))(coords, valid, feats, w)
 
 
 @lru_cache(maxsize=None)

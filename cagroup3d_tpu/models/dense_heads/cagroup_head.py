@@ -256,7 +256,7 @@ class CAGroup3DHead:
                 from ...core.scene_fold import folded_subm_mxu
                 return folded_subm_mxu(
                     st_cls.coords, st_cls.valid, st_cls.feats, w,
-                    kernel_size)
+                    kernel_size, train=ctx.train)
             from ...core.scene_fold import folded_grouped_classes_t
             return folded_grouped_classes_t(
                 st_cls.coords, st_cls.valid, st_cls.feats, 1, kernel_size,

@@ -199,11 +199,11 @@ def subm(params: Params, ctx: Ctx, path: str, st: SparseTensor,
             from ..core.scene_fold import folded_subm_single_mxu
             f = folded_subm_single_mxu(st.coords, st.valid,
                                        st.masked_feats(), w, k,
-                                       st.stride)
+                                       st.stride, train=ctx.train)
         else:
             from ..ops.pallas_conv import subm_conv_mxu
             f = subm_conv_mxu(st.coords, st.valid, st.masked_feats(), w,
-                              k, st.stride)
+                              k, st.stride, train=ctx.train)
         b = params.get(path + ".bias")
         if b is not None:
             f = f + b
@@ -260,7 +260,8 @@ def down(params: Params, ctx: Ctx, path: str, st: SparseTensor, k: int,
         from ..ops.pallas_conv import conv_at_coords_mxu
         qlat = jnp.floor_divide(out.coords, st.stride)
         f = conv_at_coords_mxu(st.coords, st.valid, st.masked_feats(),
-                               st.stride, qlat, out.valid, k, w)
+                               st.stride, qlat, out.valid, k, w,
+                               train=ctx.train)
         b = params.get(path + ".bias")
         if b is not None:
             f = f + b

@@ -132,7 +132,8 @@ class CAGroup3DRoIHead:
             from ...ops.pallas_conv import conv_at_coords_mxu
             f = conv_at_coords_mxu(st.coords, st.valid, st.masked_feats(),
                                    st.stride, ded.coords, ded.valid,
-                                   self.roi_conv_kernel, w)
+                                   self.roi_conv_kernel, w,
+                                   train=ctx.train)
         else:
             from ...core.sparse_conv import scan_conv_grouped_t
             f = scan_conv_grouped_t(st.coords, st.valid, st.feats,

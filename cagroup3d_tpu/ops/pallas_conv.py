@@ -57,17 +57,34 @@ _LANE = 128
 # Query-block width (lanes) and its slab length.  A NAIVE QW=256 (one
 # [SLAB, 256] one-hot) produces WRONG results on real v5e hardware while
 # passing in interpret mode (Mosaic lowering miscompile, ~7% rel err).
-# CAGROUP_QW256=1 enables the two-128-lane workaround instead: the
-# rank-window walk runs once per 256-query block (halving window visits,
-# the per-walk overhead) but every one-hot compare stays [SLAB, 128] —
-# two compares + two MXU matmuls per dz whose results concatenate along
-# the query rows (exactness gated by tools/tpu_smoke.py on-chip).
-_QW = 256 if os.environ.get("CAGROUP_QW256") == "1" else 128
+# The DEFAULT is the two-128-lane workaround: the rank-window walk runs
+# once per 256-query block (halving window visits, the per-walk
+# overhead) but every one-hot compare stays [SLAB, 128] — two compares +
+# two MXU matmuls per dz whose results concatenate along the query rows
+# (exactness gated by tools/tpu_smoke.py on-chip; bitwise-identical to
+# QW=128 since one-hot gathers are exact row copies).  Measured e2e on
+# v5e at full caps: 65.3 ms/scene vs 69.9 at QW=128 (round 5).
+# CAGROUP_QW256=0 opts back into 128-query blocks everywhere, =1
+# forces them in TRAINING too.  Measured on v5e (round 5): eval e2e
+# 65.3-66.3 ms at QW=256 vs 69.9 at 128; the B=2 train step is
+# QW-INSENSITIVE (1015 ms forced-256 vs 1021 mode-dependent-128 —
+# noise; the apparent 954 -> ~1015 shift pre-dates this change and
+# tracks the DAPPM/up-conv rewrite).  The unset default stays
+# mode-dependent (256 eval / 128 train) to keep the training graph at
+# the configuration round-4 measured and to hold the dW walk narrow.
+def _qw_for(train: bool) -> int:
+    v = os.environ.get("CAGROUP_QW256")
+    if v == "0":
+        return _LANE
+    if v == "1":
+        return 256
+    return _LANE if train else 256
 # SLAB sweep on v5e (k9, G=18, N=4096, C=64): 128 -> 59.3 ms,
 # 160 -> 46.6, 192 -> 45.6, 256 -> 48.7.  192 balances one-hot width
 # against multi-slab window visits.  CAGROUP_SLAB overrides for tuning
 # experiments (read at import; must divide the pad logic's 8-grid).
-_SLAB_FOR = {128: int(os.environ.get("CAGROUP_SLAB", 192)), 256: 320}
+_SLAB_FOR = {128: int(os.environ.get("CAGROUP_SLAB", 192)),
+             256: int(os.environ.get("CAGROUP_SLAB256", 320))}
 
 
 def _mxu_bwd_enabled():
@@ -316,17 +333,20 @@ def _rank_bounds(qkeys, skeys, K):
     return lo.reshape(G, K, K, NB), hi.reshape(G, K, K, NB)
 
 
-def _prep_tables(coords, valid, feats, kernel_size, stride, qlat, qvalid):
+def _prep_tables(coords, valid, feats, kernel_size, stride, qlat, qvalid,
+                 train=False):
     """Shared forward/backward prep: packed sorted keys, rank windows,
     bf16 feature table.  Returns (lo, hi, keys_col, keys_row, featsb,
-    (K, C, N, NQ, QW, SLAB, NB))."""
+    (K, C, N, NQ, QW, SLAB, NB)).  ``train`` picks the walk-block width
+    (_qw_for)."""
     G, N, C = feats.shape
     K = kernel_size
     lat = jnp.floor_divide(coords, stride) if stride != 1 else coords
     skeys = pack_coords(lat, valid)                              # [G, N]
     qkeys = skeys if qlat is None else pack_coords(qlat, qvalid)
     NQ = qkeys.shape[1]
-    QW = _QW if NQ % _QW == 0 and N >= _SLAB_FOR[_QW] else _LANE
+    qw = _qw_for(train)
+    QW = qw if NQ % qw == 0 and N >= _SLAB_FOR[qw] else _LANE
     SLAB = _SLAB_FOR[QW]
     assert NQ % QW == 0 and N % _LANE == 0 and N >= SLAB, (NQ, N, QW)
     NB = NQ // QW
@@ -355,7 +375,7 @@ def _prep_tables(coords, valid, feats, kernel_size, stride, qlat, qvalid):
 
 def _pallas_forward(coords, valid, feats, w, kernel_size: int,
                     stride: int = 1, qlat=None, qvalid=None,
-                    w_groups: int = 0):
+                    w_groups: int = 0, train: bool = False):
     """qlat/qvalid: optional separate sorted query lattice (conv-at-
     coords), in units of the SOURCE lattice // stride.
 
@@ -370,7 +390,8 @@ def _pallas_forward(coords, valid, feats, w, kernel_size: int,
 
     lo, hi, keys_col, keys_row, featsb, \
         (K, C, N, NQ, QW, SLAB, NB) = _prep_tables(
-            coords, valid, feats, kernel_size, stride, qlat, qvalid)
+            coords, valid, feats, kernel_size, stride, qlat, qvalid,
+            train=train)
     # W [G, K(dx), K(dy), K(dz)*C (dz-major rows), Cout]; the whole dx
     # axis rides in the class block (dx is scanned inside the kernel)
     w2 = (w.astype(jnp.bfloat16)
@@ -437,7 +458,7 @@ def mxu_conv_vmem_bytes(N, C, Cout, K, NQ=None):
     scales with the query table, not the source table)."""
     if NQ is None:
         NQ = N
-    Np = N + _SLAB_FOR[_QW]        # + slab-walk pad rows (_prep_tables)
+    Np = N + _SLAB_FOR[256]        # + slab-walk pad rows (_prep_tables)
     return (2 * Np * C * 2         # feats bf16, double-buffered
             + 2 * NQ * Cout * 4    # out f32, double-buffered
             + 2 * K ** 3 * C * Cout * 2  # weight block (full dx axis)
@@ -549,7 +570,7 @@ def _dw_kernel(lo_ref, hi_ref, keys_col_ref, keys_row_ref, feats_ref,
 
 def _pallas_dw(coords, valid, feats, gout, kernel_size: int,
                stride: int = 1, qlat=None, qvalid=None,
-               w_groups: int = 0):
+               w_groups: int = 0, train: bool = False):
     """dL/dW of ``_pallas_forward`` given output cotangent ``gout``
     [G, NQ, Cout] (pre-masked by query validity).  Returns
     [Gw, K, K, K*C, Cout] f32 with the scene axis already reduced when
@@ -558,7 +579,8 @@ def _pallas_dw(coords, valid, feats, gout, kernel_size: int,
     Cout = gout.shape[-1]
     lo, hi, keys_col, keys_row, featsb, \
         (K, C, N, NQ, QW, SLAB, NB) = _prep_tables(
-            coords, valid, feats, kernel_size, stride, qlat, qvalid)
+            coords, valid, feats, kernel_size, stride, qlat, qvalid,
+            train=train)
     goutb = gout.astype(jnp.bfloat16)
 
     kern = functools.partial(_dw_kernel, K=K, C=C, Cout=Cout, N=N, NQ=NQ,
@@ -607,7 +629,8 @@ def _dw_to_w_layout(dw, K, C, w_like):
 
 
 def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
-                          stride: int = 1, w_groups: int = 0):
+                          stride: int = 1, w_groups: int = 0,
+                          train: bool = False):
     """(Per-class) submanifold K^3 conv, MXU-fused forward + XLA-vjp
     backward.
 
@@ -623,7 +646,7 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
     @jax.custom_vjp
     def f(coords, valid, feats, w):
         return _pallas_forward(coords, valid, feats, w, kernel_size,
-                               stride, w_groups=w_groups)
+                               stride, w_groups=w_groups, train=train)
 
     def fwd(coords, valid, feats, w):
         return f(coords, valid, feats, w), (coords, valid, feats, w)
@@ -640,10 +663,10 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
         if _mxu_bwd_enabled():
             dfe = _pallas_forward(
                 coords, valid, g, _w_rev_t(w), kernel_size, stride,
-                w_groups=w_groups).astype(feats.dtype)
+                w_groups=w_groups, train=train).astype(feats.dtype)
             dwe = _dw_to_w_layout(
                 _pallas_dw(coords, valid, feats, g, kernel_size, stride,
-                           w_groups=w_groups),
+                           w_groups=w_groups, train=train),
                 kernel_size, feats.shape[-1], w)
         else:
             dfe = scan_conv_grouped_classes(
@@ -663,16 +686,17 @@ def subm_conv_classes_mxu(coords, valid, feats, w, kernel_size: int,
 
 
 def subm_conv_mxu(st_coords, st_valid, st_feats, w, kernel_size: int,
-                  stride: int):
+                  stride: int, train: bool = False):
     """Single-table wrapper (backbone subm convs): adds the class axis."""
     out = subm_conv_classes_mxu(st_coords[None], st_valid[None],
                                 st_feats[None], w[None], kernel_size,
-                                stride)
+                                stride, train=train)
     return out[0]
 
 
 def conv_at_coords_mxu(src_coords, src_valid, src_feats, src_stride: int,
-                       qlat, qvalid, kernel_size: int, w):
+                       qlat, qvalid, kernel_size: int, w,
+                       train: bool = False):
     """Single-table conv-at-coords: evaluate a K^3 conv over the source
     sparse tensor AT a separate sorted query lattice (the RoI head's
     grid_conv on backbone voxels, reference cagroup_roi_head.py:69).
@@ -690,7 +714,7 @@ def conv_at_coords_mxu(src_coords, src_valid, src_feats, src_stride: int,
         return _pallas_forward(
             src_coords[None], src_valid[None], src_feats[None], w[None],
             kernel_size, src_stride, qlat=qlat[None],
-            qvalid=qvalid[None])[0]
+            qvalid=qvalid[None], train=train)[0]
 
     def fwd(src_coords, src_valid, src_feats, qlat, qvalid, w):
         return f(src_coords, src_valid, src_feats, qlat, qvalid, w), \
@@ -713,12 +737,13 @@ def conv_at_coords_mxu(src_coords, src_valid, src_feats, src_stride: int,
             dfe = _pallas_forward(
                 qlat[None], qvalid[None], g[None], _w_rev_t(w)[None],
                 kernel_size, 1, qlat=src_lat[None],
-                qvalid=src_valid[None])[0].astype(src_feats.dtype)
+                qvalid=src_valid[None], train=train
+            )[0].astype(src_feats.dtype)
             dwe = _dw_to_w_layout(
                 _pallas_dw(src_coords[None], src_valid[None],
                            src_feats[None], g[None], kernel_size,
                            src_stride, qlat=qlat[None],
-                           qvalid=qvalid[None]),
+                           qvalid=qvalid[None], train=train),
                 kernel_size, src_feats.shape[-1], w[None])[0]
         else:
             dfe = scan_conv_grouped(
