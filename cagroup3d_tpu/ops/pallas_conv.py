@@ -81,8 +81,12 @@ def _qw_for(train: bool) -> int:
     return _LANE if train else 256
 # SLAB sweep on v5e (k9, G=18, N=4096, C=64): 128 -> 59.3 ms,
 # 160 -> 46.6, 192 -> 45.6, 256 -> 48.7.  192 balances one-hot width
-# against multi-slab window visits.  CAGROUP_SLAB overrides for tuning
-# experiments (read at import; must divide the pad logic's 8-grid).
+# against multi-slab window visits; e2e confirms (full-caps bench at
+# QW=128: 160 -> 75.9 ms, 192 -> 69.9, 224 -> 69.5).  QW=256 e2e sweep:
+# SLAB 256 -> 69.6 ms, 320 -> 65.3-66.3 (best), 384 -> Mosaic
+# scoped-vmem reject on the 65k-row stem conv (102.97M > limit).
+# CAGROUP_SLAB / CAGROUP_SLAB256 override for tuning experiments (read
+# at import; must divide the pad logic's 8-grid).
 _SLAB_FOR = {128: int(os.environ.get("CAGROUP_SLAB", 192)),
              256: int(os.environ.get("CAGROUP_SLAB256", 320))}
 
